@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: DRN-D-22 video segmentation throughput at 1024x2048
+on one TPU chip (the reference's north-star workload, seg_video*).
+
+Prints ONE JSON line:
+  {"metric": "seg_video_fps_1024x2048", "value": N, "unit": "fps",
+   "vs_baseline": N / 60.0}
+
+Baseline: 60 fps at 1024x2048 (BASELINE.md target for one v5e chip).
+
+Method: the full per-frame program (normalize -> DRNSeg forward (bf16) ->
+fused upsample+argmax -> uint8 ids) runs as one jitted device program over a
+batch of frames, looped on device via lax.scan to amortize dispatch (remote
+dispatch costs ~50 ms/call on the axon relay).  Timing forces completion by
+fetching a reduction of the result (block_until_ready does not block over
+the relay).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.drnseg import drnseg_forward
+    from tpuseg.ops.upsample import upsample_argmax
+
+    H, W = 1024, 2048
+    BATCH = 1
+    INNER = 8  # forwards per dispatched call (device-side scan)
+    REPS = 3
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+
+    mean = jnp.asarray([0.290, 0.328, 0.287], jnp.float32)
+    std = jnp.asarray([0.183, 0.187, 0.184], jnp.float32)
+
+    def frame_program(frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        _, seg, _ = drnseg_forward(
+            params, state, x, spec, train=False,
+            compute_dtype=jnp.bfloat16, upsample=False,
+        )
+        ids = upsample_argmax(seg, params["up.weight"])
+        return ids.astype(jnp.uint8)
+
+    @jax.jit
+    def bench_loop(frames_u8):
+        def body(carry, _):
+            ids = frame_program(frames_u8)
+            # fold the result into the carry to keep every iteration live
+            return carry + ids.astype(jnp.int32).sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=INNER)
+        return total
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, size=(BATCH, H, W, 3), dtype=np.uint8))
+
+    # compile + warmup (forced fetch)
+    _ = int(np.asarray(bench_loop(frames)))
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _ = int(np.asarray(bench_loop(frames)))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = (BATCH * INNER) / best
+
+    print(
+        json.dumps(
+            {
+                "metric": "seg_video_fps_1024x2048",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,37 @@
+"""Op-level tests: phase-decomposed upsample vs the transposed-conv ground
+truth, fused argmax correctness."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.models.drnseg import bilinear_upsample_kernel, upsample8
+from tpuseg.ops.upsample import upsample8_phase, upsample_argmax
+
+
+def test_phase_upsample_matches_conv():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, 5)).astype(np.float32))
+    k = jnp.asarray(bilinear_upsample_kernel())
+    ref = upsample8(x, k)
+    out = upsample8_phase(x, k)
+    assert out.shape == ref.shape == (2, 56, 72, 5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_argmax_matches_naive():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, 19)).astype(np.float32))
+    k = jnp.asarray(bilinear_upsample_kernel())
+    naive = jnp.argmax(upsample8(x, k), axis=-1)
+    fused = upsample_argmax(x, k)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(naive))
+
+
+def test_upsample_argmax_jits():
+    k = jnp.asarray(bilinear_upsample_kernel())
+    f = jax.jit(lambda s: upsample_argmax(s, k))
+    ids = f(jnp.zeros((1, 4, 4, 3)))
+    assert ids.shape == (1, 32, 32)
+    assert ids.dtype == jnp.int32

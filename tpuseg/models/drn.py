@@ -394,7 +394,15 @@ def conv2d(
     padding: int = 0,
     compute_dtype=None,
 ) -> jax.Array:
-    """NHWC x HWIO conv with f32 accumulation on the MXU."""
+    """NHWC x HWIO conv.
+
+    Output dtype follows the operands (standard mixed-precision policy): the
+    MXU accumulates bf16 matmuls in f32 internally, and an explicit
+    ``preferred_element_type=f32`` would break the conv VJP in this JAX
+    version (the transpose conv mixes the f32 cotangent with bf16 operands).
+    BatchNorm upcasts to f32 right after each conv, so precision-critical
+    arithmetic stays in f32 either way.
+    """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -405,7 +413,6 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
 
 

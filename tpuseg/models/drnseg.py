@@ -89,6 +89,11 @@ def upsample8(x: jax.Array, up_kernel: jax.Array, compute_dtype: Any = None) -> 
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     pad = k - 1 - UP_PAD
+    # preferred_element_type must match the operand dtype here: with a widened
+    # accumulator the conv VJP builds a conv mixing the f32 cotangent with
+    # bf16 operands and fails to trace.  Bilinear interpolation sums at most
+    # 2x2 terms with weights < 1, so accumulation in the compute dtype is
+    # exact enough; the log-softmax above upcasts to f32 anyway.
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -97,7 +102,6 @@ def upsample8(x: jax.Array, up_kernel: jax.Array, compute_dtype: Any = None) -> 
         lhs_dilation=(UP_STRIDE, UP_STRIDE),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
     )
 
 

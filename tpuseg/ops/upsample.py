@@ -1,0 +1,83 @@
+"""Fused x8 bilinear upsample (+ argmax) for the segmentation head.
+
+The reference upsampler is a frozen depthwise ConvTranspose2d(16, stride=8,
+pad=4) with bilinear weights (semantic_seg.py:115-152).  Because stride 8
+divides kernel 16 exactly, every output pixel receives contributions from at
+most 2 input pixels per axis.  Decomposing by output phase r = o % 8:
+
+    out[8m + r] = a[r] * xp[m + d(r)] + b[r] * xp[m + d(r) + 1]
+
+with a[r] = k[(11 - r) % 8], b[r] = k[(11 - r) % 8 + 8], d(r) = (r >= 4),
+and xp zero-padded by one pixel on each side.  Applied separably over H and
+W this is pure VPU work (no conv at all), and the trailing argmax fuses into
+the same loop under XLA — the full-resolution C-channel tensor never hits
+HBM as a stored intermediate.
+
+Verified equivalent to the conv_transpose formulation in
+tests/test_ops.py::test_phase_upsample_matches_conv.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STRIDE = 8
+KSIZE = 16
+
+
+def _phase_weights(kernel_1d: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-phase 2-tap weights (a[r], b[r]) for r in [0, 8)."""
+    k0 = (11 - jnp.arange(STRIDE)) % STRIDE
+    a = kernel_1d[k0]
+    b = kernel_1d[k0 + STRIDE]
+    return a, b
+
+
+def _kernel_1d(up_kernel: jax.Array) -> jax.Array:
+    """Extract the separable 1-D factor from the 2-D bilinear kernel.
+
+    fill_up_weights builds k2[i,j] = f(i) * f(j), so f = sqrt(diag(k2))."""
+    if up_kernel.ndim == 1:
+        return up_kernel
+    return jnp.sqrt(jnp.diagonal(up_kernel))
+
+
+def _upsample_axis(x: jax.Array, kernel_1d: jax.Array, axis: int) -> jax.Array:
+    """Upsample one spatial axis by 8 via the phase decomposition."""
+    a, b = _phase_weights(kernel_1d.astype(x.dtype))
+    x = jnp.moveaxis(x, axis, 1)  # (N, L, ...)
+    n, L = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    pad = [(0, 0), (1, 1)] + [(0, 0)] * len(rest)
+    xp = jnp.pad(x, pad)
+    p0 = xp[:, 0:L]        # xp[m]
+    p1 = xp[:, 1 : L + 1]  # xp[m+1]
+    p2 = xp[:, 2 : L + 2]  # xp[m+2]
+    shape_r = (1, 1, STRIDE // 2) + (1,) * len(rest)
+    lo = p0[:, :, None] * a[:4].reshape(shape_r) + p1[:, :, None] * b[:4].reshape(shape_r)
+    hi = p1[:, :, None] * a[4:].reshape(shape_r) + p2[:, :, None] * b[4:].reshape(shape_r)
+    out = jnp.concatenate([lo, hi], axis=2)  # (N, L, 8, ...)
+    out = out.reshape((n, L * STRIDE) + rest)
+    return jnp.moveaxis(out, 1, axis)
+
+
+def upsample8_phase(x: jax.Array, up_kernel: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, 8H, 8W, C), identical to the depthwise
+    transposed conv with the given (16, 16) kernel."""
+    k1 = _kernel_1d(up_kernel)
+    x = _upsample_axis(x, k1, axis=1)
+    x = _upsample_axis(x, k1, axis=2)
+    return x
+
+
+def upsample_argmax(seg: jax.Array, up_kernel: jax.Array) -> jax.Array:
+    """argmax_c(upsample8(seg)) without storing the full-res logits.
+
+    Monotonic log-softmax is skipped entirely — argmax of log-probs equals
+    argmax of upsampled logits (the reference argmaxes log_softmax output,
+    seg_video.py:163).
+    """
+    up = upsample8_phase(seg, up_kernel)
+    return jnp.argmax(up, axis=-1).astype(jnp.int32)

@@ -1,0 +1,100 @@
+"""Device-mesh parallelism.
+
+This module replaces the reference's entire distributed layer (SURVEY.md
+§2.5): ``torch.nn.DataParallel`` (semantic_seg.py:809-815), DDP +
+``dist.init_process_group('nccl')`` (semantic_seg_multigpu.py:460-526,
+rmbsnn_main.py:162-238) and ``mp.spawn`` — with a ``jax.sharding.Mesh`` and
+``NamedSharding`` annotations.  XLA inserts the gradient all-reduce (psum)
+over ICI inside the jitted train step; no process groups, no explicit
+collectives, one Python process per host.
+
+Axes:
+- ``data``    — batch-dim data parallelism (the only parallelism the
+  reference has)
+- ``spatial`` — optional sharding of the image H dimension for inputs whose
+  activations exceed one chip's HBM (1024x2048 Cityscapes frames); XLA SPMD
+  inserts halo exchanges for the convolutions automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host init (replaces ``dist.init_process_group``,
+    rmbsnn_main.py:169-170).  No-op on single-process runs."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(
+    data: int | None = None,
+    spatial: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a (data, spatial) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // spatial
+    assert data * spatial == n, f"mesh {data}x{spatial} != {n} devices"
+    arr = np.asarray(devices).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree across the mesh (weights)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Shard array(s) along their leading (batch) dimension."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_train_step(
+    train_step: Callable,
+    mesh: Mesh,
+    donate_state: bool = True,
+) -> Callable:
+    """Compile a train step for data parallelism over ``mesh``.
+
+    State (params/opt/masks/bn) is replicated; images/labels are sharded on
+    the batch axis.  The loss is a mean over the global batch, so XLA emits
+    one all-reduce for the grads — the moral equivalent of DDP's bucketed
+    NCCL all-reduce, but fused and ICI-routed.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, data),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def spatial_forward(forward: Callable, mesh: Mesh) -> Callable:
+    """Compile a forward fn with activations sharded over H (NHWC dim 1).
+
+    For 1024x2048 inputs whose intermediate activations would blow past one
+    chip's HBM; XLA SPMD partitions the convs with halo exchange on ICI.
+    """
+    repl = NamedSharding(mesh, P())
+    img = NamedSharding(mesh, P(None, "spatial", None, None))
+    return jax.jit(forward, in_shardings=(repl, repl, img))

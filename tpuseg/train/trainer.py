@@ -1,0 +1,183 @@
+"""Jitted train/eval steps.
+
+One functional core: ``(state, batch) -> (state', metrics)``, traced once and
+compiled by XLA.  The masked-weight projection runs INSIDE the step right
+after the optimizer update (the reference re-applies masks after every
+``optimizer.step()``: semantic_seg.py:213-214, rmbsnn_main.py:483-484), so
+straight-through masked dense training costs one fused elementwise multiply.
+
+Data parallelism: these steps are sharding-agnostic — wrap them with
+``tpuseg.parallel.shard_train_step`` to run on a device mesh (replaces
+DataParallel/DDP; XLA inserts the gradient all-reduce over ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuseg.models.drn import DrnSpec, drn_forward
+from tpuseg.models.drnseg import drnseg_forward
+from tpuseg.sparsity.base import apply_masks
+from tpuseg.train.loss import (
+    combined_kd_loss,
+    cross_entropy_ignore,
+    seg_loss_from_logprobs,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    bn_state: dict
+    opt_state: Any
+    masks: dict
+    step: jax.Array
+
+
+def create_train_state(params, bn_state, tx: optax.GradientTransformation, masks=None):
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
+    masks = {k: jnp.asarray(v) for k, v in (masks or {}).items()}
+    if masks:
+        params = apply_masks(params, masks)
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=tx.init(params),
+        masks=masks,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _sgd_update(tx, grads, state: TrainState, frozen: tuple[str, ...] = ()):
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    if frozen:
+        # Frozen params are excluded from the optimizer in the reference
+        # (DRNSeg.optim_parameters skips the upsampler, semantic_seg.py:160-164),
+        # so they see neither gradient nor weight decay.
+        updates = {
+            k: (jnp.zeros_like(v) if k in frozen else v) for k, v in updates.items()
+        }
+    new_params = optax.apply_updates(state.params, updates)
+    if state.masks:
+        new_params = apply_masks(new_params, state.masks)
+    return new_params, new_opt
+
+
+def make_seg_train_step(
+    spec: DrnSpec,
+    tx: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+    frozen: tuple[str, ...] = ("up.weight",),
+) -> Callable:
+    """Segmentation train step (parity with semantic_seg.train).
+
+    ``frozen`` params get zero gradients (the reference freezes the bilinear
+    upsampler, semantic_seg.py:151, and excludes it from optim_parameters).
+    """
+
+    def loss_fn(params, bn_state, images, labels):
+        logp, _seg, updates = drnseg_forward(
+            params, bn_state, images, spec, train=True, compute_dtype=compute_dtype
+        )
+        loss = seg_loss_from_logprobs(logp, labels)
+        return loss, (updates, logp)
+
+    def train_step(state: TrainState, images, labels):
+        (loss, (bn_updates, logp)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.bn_state, images, labels)
+        grads = {
+            k: (jnp.zeros_like(v) if k in frozen else v) for k, v in grads.items()
+        }
+        new_params, new_opt = _sgd_update(tx, grads, state, frozen)
+        new_bn = {**state.bn_state, **bn_updates}
+        new_state = TrainState(
+            params=new_params,
+            bn_state=new_bn,
+            opt_state=new_opt,
+            masks=state.masks,
+            step=state.step + 1,
+        )
+        preds = jnp.argmax(logp, axis=-1)
+        return new_state, {"loss": loss, "preds": preds}
+
+    return train_step
+
+
+def make_cls_train_step(
+    spec: DrnSpec,
+    tx: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+    teacher: tuple[Callable, Mapping, Mapping] | None = None,
+    kd_student_wt: float = 0.5,
+    kd_distill_wt: float = 0.5,
+    kd_temperature: float = 4.0,
+) -> Callable:
+    """Classification train step with optional knowledge distillation
+    (parity with rmbsnn_main.train, :432-500).
+
+    ``teacher`` is ``(forward_fn, params, bn_state)`` where ``forward_fn``
+    maps ``(params, bn_state, images) -> logits``.
+    """
+
+    def loss_fn(params, bn_state, images, labels):
+        logits, _, updates = drn_forward(
+            params, bn_state, images, spec, train=True, compute_dtype=compute_dtype
+        )
+        if teacher is not None:
+            t_fwd, t_params, t_bn = teacher
+            t_logits = jax.lax.stop_gradient(t_fwd(t_params, t_bn, images))
+            loss = combined_kd_loss(
+                logits, labels, t_logits, kd_student_wt, kd_distill_wt, kd_temperature
+            )
+        else:
+            loss = cross_entropy_ignore(logits, labels, ignore_index=-1)
+        return loss, (updates, logits)
+
+    def train_step(state: TrainState, images, labels):
+        (loss, (bn_updates, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.bn_state, images, labels)
+        new_params, new_opt = _sgd_update(tx, grads, state)
+        new_state = TrainState(
+            params=new_params,
+            bn_state={**state.bn_state, **bn_updates},
+            opt_state=new_opt,
+            masks=state.masks,
+            step=state.step + 1,
+        )
+        acc = (jnp.argmax(logits, -1) == labels).mean()
+        return new_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_eval_step(spec: DrnSpec, kind: str = "seg", compute_dtype=jnp.bfloat16):
+    """Eval step returning per-batch loss and predictions."""
+
+    if kind == "seg":
+
+        def eval_step(params, bn_state, images, labels):
+            logp, _seg, _ = drnseg_forward(
+                params, bn_state, images, spec, train=False, compute_dtype=compute_dtype
+            )
+            loss = seg_loss_from_logprobs(logp, labels)
+            return loss, jnp.argmax(logp, axis=-1)
+
+    else:
+
+        def eval_step(params, bn_state, images, labels):
+            logits, _, _ = drn_forward(
+                params, bn_state, images, spec, train=False, compute_dtype=compute_dtype
+            )
+            loss = cross_entropy_ignore(logits, labels, ignore_index=-1)
+            return loss, jnp.argmax(logits, axis=-1)
+
+    return eval_step

