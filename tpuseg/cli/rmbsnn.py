@@ -1,0 +1,202 @@
+"""Classification trainer with pruning + knowledge distillation.
+
+Parity with /root/reference/rmbsnn_main.py: base-model load, optional
+teacher + KD (temperature-softened KL mixed with CE, :459-469), pruner
+dispatch (:246-271), static rejig re-init (:360-385), per-step mask re-apply
+(:483-484), top-1/5 validation, rank-0 checkpointing, step LR decay
+(adjust_learning_rate :600-639).
+
+TPU-native: one jitted train step on a data-parallel mesh; no mp.spawn — a
+single process drives all local devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from os.path import join
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tpuseg pruned-classifier trainer")
+    p.add_argument("--dataset", default="cifar10",
+                   choices=["cifar10", "cifar100", "mnist", "imagenet", "synthetic"])
+    p.add_argument("--data", default=None, help="dataset root dir")
+    p.add_argument("-a", "--arch", default="cifar_resnet20")
+    p.add_argument("-b", "--batch-size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", "--weight-decay", dest="weight_decay",
+                   type=float, default=1e-4)
+    p.add_argument("--base-model", default=None, help="dense weights to start from")
+    p.add_argument("--teacher-model", default=None, help="KD teacher checkpoint")
+    p.add_argument("--teacher-arch", default=None)
+    p.add_argument("--kd-student-wt", type=float, default=0.5)
+    p.add_argument("--kd-distill-wt", type=float, default=0.5)
+    p.add_argument("--kd-temperature", type=float, default=4.0)
+    # pruning (reference flags)
+    p.add_argument("--mc-pruning", action="store_true")
+    p.add_argument("--pr-config-path", default=None)
+    p.add_argument("--pr-static", action="store_true")
+    p.add_argument("--rejig", action="store_true")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--save-dir", default="runs/cls")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    p.add_argument("--synthetic-n", type=int, default=256)
+    return p.parse_args(argv)
+
+
+def build_model(args, arch, classes):
+    from tpuseg.models.cifar import CIFAR_ARCHS, create_cifar_model
+    from tpuseg.models.drn import DRN_ARCHS, build_drn_spec, init_drn
+
+    if arch in CIFAR_ARCHS:
+        return create_cifar_model(args.seed, arch, classes)
+    if arch in DRN_ARCHS:
+        spec = build_drn_spec(arch, num_classes=classes, naming="cls")
+        params, state = init_drn(args.seed, spec)
+        return params, state, spec
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def load_into(params, state, path):
+    if path.endswith(".pth"):
+        from tpuseg.models.torch_import import load_pth
+
+        p, s, _ = load_pth(path)
+    else:
+        from tpuseg.train import load_checkpoint
+
+        p, s, _, _, _ = load_checkpoint(path)
+    params.update(p)
+    state.update(s)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.data.classification import SyntheticClassDataset, make_class_datasets
+    from tpuseg.data.loaders import batch_iterator, prefetch_to_device
+    from tpuseg.metrics import AverageMeter, top_k_accuracy
+    from tpuseg.models.factory import num_classes_for_dataset
+    from tpuseg.sparsity import create_masker, mask_sparsity_stats
+    from tpuseg.train import (
+        create_train_state,
+        make_cls_train_step,
+        make_eval_step,
+        make_sgd,
+        save_checkpoint,
+        sparsity_aware_reinit,
+    )
+    from tpuseg.train.optim import step30_schedule, milestones_for_epochs, multistep_schedule
+    from tpuseg.train.trainer import classifier_forward
+
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    if args.dataset == "synthetic":
+        classes = 10
+        chan = 3
+        train_ds = SyntheticClassDataset(args.synthetic_n, 32, chan, classes, args.seed)
+        val_ds = train_ds
+    else:
+        classes = num_classes_for_dataset(args.dataset)
+        train_ds, val_ds = make_class_datasets(args.dataset, args.data, args.seed)
+
+    params, state, spec = build_model(args, args.arch, classes)
+    if args.base_model:
+        load_into(params, state, args.base_model)
+
+    teacher = None
+    if args.teacher_model:
+        t_arch = args.teacher_arch or args.arch
+        t_params, t_state, t_spec = build_model(args, t_arch, classes)
+        load_into(t_params, t_state, args.teacher_model)
+        t_fwd_full = classifier_forward(t_spec, compute_dtype)
+        teacher = (
+            lambda p, s, x: t_fwd_full(p, s, x, train=False)[0],
+            {k: jnp.asarray(v) for k, v in t_params.items()},
+            {k: jnp.asarray(v) for k, v in t_state.items()},
+        )
+
+    masks = None
+    if args.mc_pruning and args.pr_config_path:
+        masker = create_masker(args.pr_config_path, seed=args.seed)
+        masks = masker.generate_masks(params, is_static=args.pr_static, verbose=True)
+        for layer, sp in mask_sparsity_stats(masks).items():
+            print(layer, f"sparsity = {sp}")
+        if args.rejig and args.pr_static:
+            params = sparsity_aware_reinit(params, masks, np.random.default_rng(args.seed))
+
+    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    if args.dataset == "imagenet" and args.epochs == 100:
+        sched = step30_schedule(args.lr, steps_per_epoch)
+    else:
+        sched = multistep_schedule(
+            args.lr, milestones_for_epochs(args.epochs), 0.1, steps_per_epoch
+        )
+    tx = make_sgd(sched, args.momentum, args.weight_decay)
+    ts = create_train_state(params, state, tx, masks)
+
+    step_fn = jax.jit(make_cls_train_step(
+        spec, tx, compute_dtype=compute_dtype, teacher=teacher,
+        kd_student_wt=args.kd_student_wt, kd_distill_wt=args.kd_distill_wt,
+        kd_temperature=args.kd_temperature,
+    ))
+    fwd = classifier_forward(spec, compute_dtype)
+    eval_fwd = jax.jit(lambda p, s, x: fwd(p, s, x, train=False)[0])
+
+    def validate():
+        logits_all, labels_all = [], []
+        for images, labels in prefetch_to_device(batch_iterator(val_ds, args.batch_size)):
+            logits_all.append(np.asarray(eval_fwd(ts.params, ts.bn_state, images)))
+            labels_all.append(np.asarray(labels))
+        logits = np.concatenate(logits_all)
+        labels = np.concatenate(labels_all)
+        top1, top5 = top_k_accuracy(logits, labels, topk=(1, min(5, classes)))
+        return top1, top5
+
+    if args.evaluate:
+        top1, top5 = validate()
+        print(json.dumps({"acc1": round(top1, 3), "acc5": round(top5, 3)}))
+        return
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    best_acc1 = 0.0
+    for epoch in range(args.epochs):
+        losses = AverageMeter("loss")
+        accs = AverageMeter("acc")
+        t0 = time.time()
+        for images, labels in prefetch_to_device(
+            batch_iterator(train_ds, args.batch_size, shuffle=True,
+                           drop_last=True, epoch=epoch)
+        ):
+            ts, m = step_fn(ts, images, labels)
+            losses.update(float(np.asarray(m["loss"])), len(labels))
+            accs.update(float(np.asarray(m["acc"])) * 100, len(labels))
+        top1, top5 = validate()
+        is_best = top1 > best_acc1
+        best_acc1 = max(best_acc1, top1)
+        save_checkpoint(
+            join(args.save_dir, "checkpoint.npz"),
+            ts.params, ts.bn_state, opt_state=ts.opt_state, masks=ts.masks,
+            meta={"epoch": epoch + 1, "arch": args.arch,
+                  "best_acc1": best_acc1, "dataset": args.dataset},
+            is_best=is_best,
+        )
+        print(json.dumps({
+            "epoch": epoch, "train_loss": round(losses.avg, 4),
+            "train_acc": round(accs.avg, 3), "acc1": round(top1, 3),
+            "acc5": round(top5, 3), "seconds": round(time.time() - t0, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()

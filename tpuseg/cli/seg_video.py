@@ -1,0 +1,113 @@
+"""Video segmentation demo CLI.
+
+Parity with /root/reference/seg_video.py, seg_video_new.py (batched),
+seg_video_no_plot.py (pure-inference timing) and plot_pyqt.py (fps counter):
+decode a driving video, run DRNSeg per batch, argmax -> palette -> overlay,
+save PNGs and report fps.
+
+Usage:
+  python -m tpuseg.cli.seg_video --video sample.mp4 --frames 25 \
+      --arch drn_d_22 --classes 19 [--pretrained ckpt.npz|ckpt.pth] \
+      [--size 300x300] [--batch 8] [--save-dir out/] [--overlay]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tpuseg video segmentation demo")
+    p.add_argument("--video", required=True)
+    p.add_argument("--arch", default="drn_d_22")
+    p.add_argument("--classes", type=int, default=19)
+    p.add_argument("--pretrained", default=None, help=".npz or .pth checkpoint")
+    p.add_argument("--frames", type=int, default=25,
+                   help="number of frames (reference demos use 25)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", default="300x300",
+                   help="HxW resize, e.g. 300x300 (reference) or 1024x2048")
+    p.add_argument("--save-dir", default=None, help="save pred_i.png overlays")
+    p.add_argument("--overlay", action="store_true",
+                   help="blend prediction over the frame (seg_video overlay)")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--mean", default="0.290,0.328,0.287")
+    p.add_argument("--std", default="0.183,0.187,0.184")
+    return p.parse_args(argv)
+
+
+def load_model(args):
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.drn import build_drn_spec
+
+    if args.pretrained and args.pretrained.endswith(".pth"):
+        from tpuseg.models.torch_import import load_pth
+
+        params, state, _ = load_pth(args.pretrained)
+        spec = build_drn_spec(args.arch, num_classes=0, naming="seg")
+    elif args.pretrained:
+        from tpuseg.train import load_checkpoint
+
+        params, state, _, _, _ = load_checkpoint(args.pretrained)
+        spec = build_drn_spec(args.arch, num_classes=0, naming="seg")
+    else:
+        params, state, spec = init_drnseg(0, args.arch, args.classes)
+    return params, state, spec
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax.numpy as jnp
+
+    from tpuseg.video import FrameSource, VideoSegmenter
+
+    h, w = (int(v) for v in args.size.lower().split("x"))
+    mean = [float(v) for v in args.mean.split(",")]
+    std = [float(v) for v in args.std.split(",")]
+
+    params, state, spec = load_model(args)
+    seg = VideoSegmenter(
+        params,
+        state,
+        spec,
+        mean,
+        std,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+        batch=args.batch,
+        want_overlay=args.overlay,
+    )
+    if not os.path.exists(args.video):
+        raise SystemExit(f"error: video file not found: {args.video}")
+    frames = FrameSource(args.video, size=(h, w))
+    result = seg.run(frames, max_frames=args.frames)
+    if result["frames"] == 0:
+        raise SystemExit(f"error: no frames decoded from {args.video}")
+
+    if args.save_dir:
+        from PIL import Image
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        for i, img in enumerate(result["color"]):
+            Image.fromarray(img).save(os.path.join(args.save_dir, f"pred_{i}.png"))
+
+    print(
+        json.dumps(
+            {
+                "frames": result["frames"],
+                "seconds": round(result["seconds"], 4),
+                "fps": round(result["fps"], 2),
+                "size": f"{h}x{w}",
+                "arch": args.arch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

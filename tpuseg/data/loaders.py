@@ -47,7 +47,7 @@ def batch_iterator(
         fields = list(zip(*samples))
         out = []
         for f in fields:
-            if isinstance(f[0], np.ndarray):
+            if isinstance(f[0], (np.ndarray, np.generic, int, float)):
                 out.append(np.stack(f))
             else:
                 out.append(list(f))

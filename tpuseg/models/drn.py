@@ -393,6 +393,7 @@ def conv2d(
     dilation: int = 1,
     padding: int = 0,
     compute_dtype=None,
+    groups: int = 1,
 ) -> jax.Array:
     """NHWC x HWIO conv.
 
@@ -413,6 +414,7 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
 
 
@@ -430,11 +432,12 @@ def batch_norm(
     unbiased var in the running-stat EMA)."""
     scale = params[f"{name}.weight"]
     bias = params[f"{name}.bias"]
+    axes = tuple(range(x.ndim - 1))  # all but channel — works for 2D and 4D
     if train:
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.var(x32, axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
+        n = int(np.prod([x.shape[a] for a in axes]))
         unbiased = var * (n / max(n - 1, 1))
         updates[f"{name}.running_mean"] = (
             (1 - momentum) * state[f"{name}.running_mean"] + momentum * mean

@@ -111,8 +111,31 @@ def make_seg_train_step(
     return train_step
 
 
+def classifier_forward(spec, compute_dtype=None) -> Callable:
+    """Uniform classifier forward ``(params, bn_state, x, train) ->
+    (logits, bn_updates)`` for DRN and CIFAR-zoo specs."""
+    from tpuseg.models.cifar import CifarSpec, cifar_forward
+
+    if isinstance(spec, CifarSpec):
+
+        def fwd(params, bn_state, x, train=False):
+            return cifar_forward(
+                params, bn_state, x, spec, train=train, compute_dtype=compute_dtype
+            )
+
+    else:
+
+        def fwd(params, bn_state, x, train=False):
+            logits, _, updates = drn_forward(
+                params, bn_state, x, spec, train=train, compute_dtype=compute_dtype
+            )
+            return logits, updates
+
+    return fwd
+
+
 def make_cls_train_step(
-    spec: DrnSpec,
+    spec,
     tx: optax.GradientTransformation,
     compute_dtype=jnp.bfloat16,
     teacher: tuple[Callable, Mapping, Mapping] | None = None,
@@ -121,16 +144,16 @@ def make_cls_train_step(
     kd_temperature: float = 4.0,
 ) -> Callable:
     """Classification train step with optional knowledge distillation
-    (parity with rmbsnn_main.train, :432-500).
+    (parity with rmbsnn_main.train, :432-500).  ``spec`` may be a DrnSpec or
+    a CifarSpec.
 
     ``teacher`` is ``(forward_fn, params, bn_state)`` where ``forward_fn``
     maps ``(params, bn_state, images) -> logits``.
     """
+    fwd = classifier_forward(spec, compute_dtype)
 
     def loss_fn(params, bn_state, images, labels):
-        logits, _, updates = drn_forward(
-            params, bn_state, images, spec, train=True, compute_dtype=compute_dtype
-        )
+        logits, updates = fwd(params, bn_state, images, train=True)
         if teacher is not None:
             t_fwd, t_params, t_bn = teacher
             t_logits = jax.lax.stop_gradient(t_fwd(t_params, t_bn, images))
@@ -159,7 +182,7 @@ def make_cls_train_step(
     return train_step
 
 
-def make_eval_step(spec: DrnSpec, kind: str = "seg", compute_dtype=jnp.bfloat16):
+def make_eval_step(spec, kind: str = "seg", compute_dtype=jnp.bfloat16):
     """Eval step returning per-batch loss and predictions."""
 
     if kind == "seg":
@@ -172,11 +195,10 @@ def make_eval_step(spec: DrnSpec, kind: str = "seg", compute_dtype=jnp.bfloat16)
             return loss, jnp.argmax(logp, axis=-1)
 
     else:
+        fwd = classifier_forward(spec, compute_dtype)
 
         def eval_step(params, bn_state, images, labels):
-            logits, _, _ = drn_forward(
-                params, bn_state, images, spec, train=False, compute_dtype=compute_dtype
-            )
+            logits, _ = fwd(params, bn_state, images, train=False)
             loss = cross_entropy_ignore(logits, labels, ignore_index=-1)
             return loss, jnp.argmax(logits, axis=-1)
 

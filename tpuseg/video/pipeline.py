@@ -133,6 +133,10 @@ class VideoSegmenter:
                     train=False, compute_dtype=compute_dtype,
                 )
                 ids = jnp.argmax(logp, axis=-1)
+            # inputs not divisible by 8 round the feature grid up, so the
+            # upsampled map can overshoot the frame by a few pixels — crop
+            h, w = frames_u8.shape[1], frames_u8.shape[2]
+            ids = ids[:, :h, :w]
             ids = ids.astype(jnp.uint8)
             color = jnp.take(palette_dev, ids, axis=0)
             if want_overlay:
