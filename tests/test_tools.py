@@ -1,0 +1,72 @@
+"""Analysis-tool tests: spectral gap on known-regular masks, Kronecker
+eigenvalue property, sparsity stats, GEMM shape extraction."""
+
+import numpy as np
+import pytest
+
+from tpuseg.sparsity.patterns import generate_sparsity_pattern, ramanujan_pattern
+from tpuseg.tools import (
+    calculate_spectral_gap,
+    get_matrix_shapes,
+    get_sparsity_stats,
+    kronecker_eigen_check,
+)
+
+
+def test_spectral_gap_dense_graph():
+    # complete bipartite graph K_{8,8}: lambda1 = 8, lambda2 = 0 (signed)
+    mask = np.ones((8, 8))
+    r = calculate_spectral_gap(mask)
+    assert r["lambda1"] == pytest.approx(8.0, rel=1e-6)
+    assert r["lambda2"] == pytest.approx(0.0, abs=1e-8)
+    assert r["spectral_gap"] == pytest.approx(8.0, rel=1e-6)
+    assert r["d_left"] == 8
+
+
+def test_spectral_gap_ramanujan_pattern():
+    rng = np.random.default_rng(0)
+    mask = ramanujan_pattern(32, 32, 8, rng)
+    r = calculate_spectral_gap(mask, assert_regular=True)
+    assert r["lambda1"] == pytest.approx(8.0, rel=1e-6)  # d-regular: lam1 = d
+    # Ramanujan-quality: second (signed) eigenvalue near/below 2*sqrt(d-1)
+    assert r["lambda2"] <= 2 * np.sqrt(7) * 1.25
+    assert r["normalized_gap"] > 0.8
+
+
+def test_kronecker_eigen_property():
+    rng = np.random.default_rng(1)
+    a = generate_sparsity_pattern(8, 8, 0.5, "CDIA", rng)
+    b = generate_sparsity_pattern(4, 4, 0.5, "CCDIA", rng)
+    ok, prod, kron = kronecker_eigen_check(a, b)
+    assert ok, (prod, kron)
+
+
+def test_sparsity_stats():
+    params = {
+        "conv.weight": np.transpose(
+            np.concatenate(
+                [np.zeros((4, 8, 3, 3)), np.ones((4, 8, 3, 3))], axis=0
+            ),
+            (2, 3, 1, 0),
+        ),
+        "fc.weight": np.eye(8),
+        "up.weight": np.ones((16, 16)),
+    }
+    stats = get_sparsity_stats(params, block=(2, 2))
+    assert stats["conv.weight"]["overall_sparsity"] == pytest.approx(0.5)
+    assert stats["conv.weight"]["filter_sparsity"] == pytest.approx(0.5)
+    assert stats["fc.weight"]["overall_sparsity"] == pytest.approx(1 - 1 / 8)
+    assert "up.weight" not in stats
+
+
+def test_matrix_shapes_drn22():
+    from tpuseg.models.drn import build_drn_spec
+
+    spec = build_drn_spec("drn_d_22", num_classes=0, naming="seg")
+    shapes = get_matrix_shapes(spec, (512, 512))
+    by_name = {s["name"]: s for s in shapes}
+    # layer.6 convs run at stride-8 resolution: N = 64*64
+    s = by_name["layer.6.0.conv1.weight".rsplit(".weight", 1)[0]]
+    assert (s["M"], s["K"], s["N"]) == (512, 256 * 9, 64 * 64)
+    s18 = by_name["layer.1.0"]
+    assert (s18["M"], s18["K"], s18["N"]) == (16, 16 * 9, 512 * 512)
