@@ -55,13 +55,17 @@ def main():
 
     @jax.jit
     def bench_loop(frames_u8):
-        def body(carry, _):
-            ids = frame_program(frames_u8)
-            # fold the result into the carry to keep every iteration live
-            return carry + ids.astype(jnp.int32).sum(), None
+        # The frames are threaded through the carry and perturbed with the
+        # previous result each step, so every iteration is data-dependent —
+        # XLA cannot hoist the forward out of the loop (which would fake an
+        # INNER-times-too-fast measurement).
+        def body(frames, _):
+            ids = frame_program(frames)
+            frames = frames + ids[..., None]
+            return frames, ids[0, 0, 0]
 
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=INNER)
-        return total
+        _, probes = jax.lax.scan(body, frames_u8, None, length=INNER)
+        return probes.astype(jnp.int32).sum()
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, size=(BATCH, H, W, 3), dtype=np.uint8))
