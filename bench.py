@@ -33,12 +33,17 @@ def main():
 
     H, W = 1024, 2048
     BATCH = 1
-    INNER = 8  # forwards per dispatched call (device-side scan)
+    # forwards per dispatched call: the remote-dispatch overhead on the axon
+    # relay is ~30 ms/call, so the device-side scan must be long enough to
+    # amortize it below the noise floor
+    INNER = 64
     REPS = 3
 
+    from tpuseg.ops.fold_bn import fold_bn
+
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
-    params = jax.device_put(params)
-    state = jax.device_put(state)
+    params = jax.device_put(fold_bn(params, state, spec))
+    state = {}
 
     mean = jnp.asarray([0.290, 0.328, 0.287], jnp.float32)
     std = jnp.asarray([0.183, 0.187, 0.184], jnp.float32)

@@ -453,9 +453,10 @@ def batch_norm(
     return out.astype(x.dtype)
 
 
-def _run_conv_bn_relu(
-    x, params, state, updates, cdef: ConvDef, bdef: BNDef, train, compute_dtype
-):
+def _conv_maybe_bn(x, params, state, updates, cdef, bdef, train, compute_dtype):
+    """conv -> (folded bias | batch norm).  When the BN params are absent
+    (inference-folded weights, tpuseg.ops.fold_bn), the conv carries a bias
+    instead and normalization is skipped entirely."""
     x = conv2d(
         x,
         params[f"{cdef.name}.weight"],
@@ -466,7 +467,18 @@ def _run_conv_bn_relu(
     )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    x = batch_norm(x, params, state, updates, bdef.name, train)
+    bias = params.get(f"{cdef.name}.bias")
+    if bias is not None:
+        x = x + bias.astype(x.dtype)
+    if bdef is not None and f"{bdef.name}.weight" in params:
+        x = batch_norm(x, params, state, updates, bdef.name, train)
+    return x
+
+
+def _run_conv_bn_relu(
+    x, params, state, updates, cdef: ConvDef, bdef: BNDef, train, compute_dtype
+):
+    x = _conv_maybe_bn(x, params, state, updates, cdef, bdef, train, compute_dtype)
     return jax.nn.relu(x)
 
 
@@ -475,27 +487,14 @@ def _run_block(x, params, state, updates, block: BlockDef, train, compute_dtype)
     out = x
     n = len(block.convs)
     for i, (cdef, bdef) in enumerate(zip(block.convs, block.bns)):
-        out = conv2d(
-            out,
-            params[f"{cdef.name}.weight"],
-            cdef.stride,
-            cdef.dilation,
-            cdef.padding,
-            compute_dtype,
-        )
-        if compute_dtype is not None:
-            out = out.astype(compute_dtype)
-        out = batch_norm(out, params, state, updates, bdef.name, train)
+        out = _conv_maybe_bn(out, params, state, updates, cdef, bdef, train, compute_dtype)
         if i < n - 1:
             out = jax.nn.relu(out)
     if block.downsample is not None:
         cdef, bdef = block.downsample
-        residual = conv2d(
-            residual, params[f"{cdef.name}.weight"], cdef.stride, 1, 0, compute_dtype
+        residual = _conv_maybe_bn(
+            residual, params, state, updates, cdef, bdef, train, compute_dtype
         )
-        if compute_dtype is not None:
-            residual = residual.astype(compute_dtype)
-        residual = batch_norm(residual, params, state, updates, bdef.name, train)
     # Bottleneck always adds the residual (drn.py:103); BasicBlock honors the
     # flag (drn.py:61-62) even when a downsample path exists.
     if block.kind == "bottleneck" or block.residual:

@@ -114,6 +114,8 @@ def prune_as_rmb(
 
 @register_masker("rmb")
 class RmbMasker(Masker):
+    use_native = True  # C++ fast path when native/libtpuseg_sparsity.so exists
+
     def parse_layer_config(self, ls_config: Mapping[str, Any]) -> RmbConfig:
         bl_types = [BlockletType(b["bh"], b["bw"]) for b in ls_config["blocklets"]]
         bl_counts = [b["count"] for b in ls_config["blocklets"]]
@@ -126,5 +128,15 @@ class RmbMasker(Masker):
         )
 
     def generate_mask(self, tensor, cfg, rng, is_static):
+        if self.use_native:
+            from tpuseg import native
+
+            if native.available():
+                mat = tensor.reshape(tensor.shape[0], -1)
+                mask = native.rmb_prune(
+                    np.ascontiguousarray(mat, np.float32),
+                    cfg.bh, cfg.bw, cfg.spo, cfg.bl_types, cfg.bl_counts,
+                )
+                return mask.reshape(tensor.shape)
         mask, _ = prune_as_rmb(tensor, cfg)
         return mask

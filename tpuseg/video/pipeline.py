@@ -104,7 +104,13 @@ class VideoSegmenter:
         palette: np.ndarray = CITYSCAPE_PALETTE,
         want_overlay: bool = False,
         fused_upsample: bool = True,
+        fold_batchnorm: bool = True,
     ):
+        if fold_batchnorm:
+            from tpuseg.ops.fold_bn import fold_bn
+
+            params = fold_bn(params, bn_state, spec)
+            bn_state = {}
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
         self.spec = spec
