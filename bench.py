@@ -40,9 +40,15 @@ def main():
     REPS = 3
 
     from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import PolyphaseFrontend
 
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
-    params = jax.device_put(fold_bn(params, state, spec))
+    folded = fold_bn(params, state, spec)
+    # MXU-efficient frontend: layers 0-2 (the low-channel full/half-res
+    # convs) run in space-to-depth domain, 48->256->256->128 channels
+    # (exact rearrangement, tests/test_polyphase.py)
+    stem = PolyphaseFrontend(folded)
+    params = jax.device_put(folded)
     state = {}
 
     mean = jnp.asarray([0.290, 0.328, 0.287], jnp.float32)
@@ -53,7 +59,8 @@ def main():
         x = (x - mean) / std
         _, seg, _ = drnseg_forward(
             params, state, x, spec, train=False,
-            compute_dtype=jnp.bfloat16, upsample=False,
+            compute_dtype=jnp.bfloat16, upsample=False, stem_fn=stem,
+            stem_stages=3,
         )
         ids = upsample_argmax(seg, params["up.weight"])
         return ids.astype(jnp.uint8)

@@ -78,3 +78,18 @@ def test_pack_bsr_from_block_masker():
     x = rng.normal(size=(512, 128)).astype(np.float32)
     y = bsr_matmul(packed, jnp.asarray(x), bn=128)
     np.testing.assert_allclose(np.asarray(y), (w * mask) @ x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("density", [0.25, 0.5])
+def test_bsr_gathered_matches_masked_dense(density):
+    from tpuseg.ops.bsr import bsr_matmul_gathered
+
+    rng = np.random.default_rng(3)
+    bm = bk = 128
+    M, K, N = 256, 512, 256
+    w = rng.normal(size=(M, K)).astype(np.float32)
+    mask = _random_block_mask(rng, M // bm, K // bk, bm, bk, density)
+    packed = pack_bsr(w, mask, bm, bk, dtype=jnp.float32)
+    x = rng.normal(size=(K, N)).astype(np.float32)
+    y = bsr_matmul_gathered(packed, jnp.asarray(x), bn=128)
+    np.testing.assert_allclose(np.asarray(y), (w * mask) @ x, rtol=1e-4, atol=1e-4)

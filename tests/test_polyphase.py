@@ -1,0 +1,76 @@
+"""Polyphase stem: exact equality with the direct 7x7 stride-1 conv."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.models.drn import conv2d
+from tpuseg.ops.polyphase import PolyphaseStem, depth_to_space, space_to_depth
+
+
+def test_s2d_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 4), 4)), np.asarray(x)
+    )
+
+
+@pytest.mark.parametrize("f", [2, 4])
+def test_polyphase_matches_direct_conv(f):
+    rng = np.random.default_rng(1)
+    w7 = rng.normal(size=(7, 7, 3, 16)).astype(np.float32)
+    bias = rng.normal(size=(16,)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(1, 32, 64, 3)).astype(np.float32))
+
+    ref = conv2d(x, jnp.asarray(w7), stride=1, dilation=1, padding=3)
+    ref = ref + jnp.asarray(bias)
+
+    stem = PolyphaseStem(w7, bias, f=f, dtype=jnp.float32)
+    out = stem(x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_polyphase_jits():
+    rng = np.random.default_rng(2)
+    w7 = rng.normal(size=(7, 7, 3, 16)).astype(np.float32)
+    stem = PolyphaseStem(w7, None, f=4, dtype=jnp.float32)
+    y = jax.jit(stem)(jnp.zeros((1, 64, 128, 3)))
+    assert y.shape == (1, 64, 128, 16)
+
+
+def test_polyphase_frontend_matches_direct():
+    """The 3-stage frontend in s2d domain equals the direct folded path."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.drnseg import drnseg_forward
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import PolyphaseFrontend
+
+    rng = np.random.default_rng(3)
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    state = {
+        k: (rng.random(v.shape).astype(np.float32) * 0.5 + 0.75
+            if k.endswith("running_var")
+            else rng.normal(size=v.shape).astype(np.float32) * 0.1)
+        for k, v in state.items()
+    }
+    folded = fold_bn(params, state, spec)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+
+    ref_logp, ref_seg, _ = jax.jit(
+        lambda p, v: drnseg_forward(p, {}, v, spec, train=False)
+    )(folded, x)
+
+    frontend = PolyphaseFrontend(folded, dtype=jnp.float32)
+    logp, seg, _ = jax.jit(
+        lambda p, v: drnseg_forward(
+            p, {}, v, spec, train=False, stem_fn=frontend, stem_stages=3
+        )
+    )(folded, x)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(ref_seg),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(ref_logp),
+                               rtol=1e-3, atol=1e-3)

@@ -512,17 +512,32 @@ def drn_forward(
     out_map: bool = False,
     out_middle: bool = False,
     compute_dtype: Any = None,
+    stem_fn: Callable | None = None,
+    stem_stages: int = 1,
 ) -> tuple[jax.Array, list[jax.Array], State]:
     """Run the DRN backbone.
 
     ``x`` is NHWC.  Returns ``(output, middle_taps, bn_state_updates)``.
     With ``num_classes == 0`` (feature extractor), returns the final feature map.
+
+    ``stem_fn`` optionally replaces the first ``stem_stages`` stages
+    (inference with BN-folded weights only) — used to swap in the
+    MXU-efficient polyphase frontend (tpuseg.ops.polyphase).  When it covers
+    a single conv stage, the trailing ReLU is applied here; multi-stage
+    frontends apply their own activations.
     """
     updates: State = {}
     taps: list[jax.Array] = []
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    for stage_name, stage in spec.stages:
+    for stage_index, (stage_name, stage) in enumerate(spec.stages):
+        if stem_fn is not None and stage_index < stem_stages:
+            if stage_index == 0:
+                x = stem_fn(x)
+                if stem_stages == 1:
+                    x = jax.nn.relu(x)
+            # replaced stages contribute no taps before layer1 anyway
+            continue
         if stage.kind == "convs":
             for cdef, bdef in stage.convs:
                 x = _run_conv_bn_relu(x, params, state, updates, cdef, bdef, train, compute_dtype)

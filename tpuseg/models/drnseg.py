@@ -114,6 +114,8 @@ def drnseg_forward(
     train: bool = False,
     compute_dtype: Any = None,
     upsample: bool = True,
+    stem_fn=None,
+    stem_stages: int = 1,
 ) -> tuple[jax.Array, jax.Array, State]:
     """Full DRNSeg forward.
 
@@ -124,7 +126,8 @@ def drnseg_forward(
     paths that upsample+argmax in one kernel).
     """
     feats, _, updates = drn_forward(
-        params, state, x, spec, train=train, compute_dtype=compute_dtype
+        params, state, x, spec, train=train, compute_dtype=compute_dtype,
+        stem_fn=stem_fn, stem_stages=stem_stages,
     )
     seg = conv2d(feats, params["seg.weight"], compute_dtype=compute_dtype)
     seg = seg + params["seg.bias"].astype(seg.dtype)

@@ -184,6 +184,99 @@ def bsr_matmul(
     return y
 
 
+def bsr_matmul_gathered(
+    bsr: BsrWeights,
+    x: jax.Array,
+    bn: int = 2048,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """v2 kernel: per (row-block, N-tile), DMA-gather the row's K-support
+    into a contiguous VMEM scratch, then issue ONE (BM x S*BK) @ (S*BK x BN)
+    dot instead of S small ones.
+
+    All rows are padded to the densest row's block count S (padded slots
+    gather block 0 of the row and multiply zero weight tiles, so the result
+    is exact).  The large dot keeps the MXU busy for S*BK >= 512 contraction
+    depth, amortizing the per-block bookkeeping that limits ``bsr_matmul``.
+    """
+    M, K = bsr.shape
+    N = x.shape[1]
+    assert x.shape[0] == K
+    bn = min(bn, N)
+    assert N % bn == 0
+    nrb = bsr.nrb
+    S = max(bsr.max_nnzb_row, 1)
+    bm, bk = bsr.bm, bsr.bk
+
+    # Re-pack values row-padded: (nrb, S, bm, bk); pad tiles are zeros.
+    vals = np.zeros((nrb, S, bm, bk), np.float32)
+    cols = np.zeros((nrb, S), np.int32)
+    host_vals = np.asarray(bsr.vals, np.float32)
+    for i in range(nrb):
+        lo, hi = bsr.rowptr[i], bsr.rowptr[i + 1]
+        n = hi - lo
+        if n:
+            vals[i, :n] = host_vals[lo:hi]
+            cols[i, :n] = bsr.colidx[lo:hi]
+    # lay out each row's support as one (bm, S*bk) matrix so the kernel does
+    # a single dot with no output transpose
+    vals_dev = jnp.asarray(
+        vals.transpose(0, 2, 1, 3).reshape(nrb, bm, S * bk), bsr.vals.dtype
+    )
+    cols_dev = jnp.asarray(cols)
+
+    def kernel(cols_ref, vals_ref, x_hbm, y_ref, xg, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def gather(s, _):
+            c = cols_ref[i, s]
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(c * bk, bk), pl.ds(j * bn, bn)],
+                xg.at[pl.ds(s * bk, bk), :],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, S, gather, 0)
+        y_ref[:] = jax.lax.dot_general(
+            vals_ref[0],
+            xg[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y_ref.dtype)
+
+    grid = (nrb, N // bn)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cols (nrb, S)
+            pl.BlockSpec((1, bm, S * bk), lambda i, j: (i, 0, 0)),
+            # x stays whole in HBM (ANY requires a trivial index_map);
+            # the kernel DMA-gathers (bk, bn) slices of it manually
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((S * bk, bn), bsr.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * S * bm * bk * N,
+            bytes_accessed=vals_dev.size * 2 + x.size * 2 + M * N * 4,
+            transcendentals=0,
+        ),
+    )(cols_dev, vals_dev, x.astype(bsr.vals.dtype))
+    return y
+
+
 def masked_dense_matmul(w, mask, x):
     """The reference's simulated-sparsity semantics (dense x 0/1 mask) for
     correctness comparison."""

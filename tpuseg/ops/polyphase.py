@@ -1,0 +1,187 @@
+"""Polyphase (space-to-depth-folded) stem convolution.
+
+The DRN stem is a 7x7 stride-1 conv 3->16 at full input resolution
+(drn.py:132-137).  On the MXU this is catastrophic: 3 input and 16 output
+channels use ~12% of the 128-wide systolic array, and profiling shows the
+stem alone costing ~9 ms of a 23 ms DRN-D-22 frame at 1024x2048.
+
+Exact reformulation: with factor f, write output coordinates as
+(f*i + a, f*j + b).  Then
+
+    y[f*i+a, f*j+b, o] = sum_{m, dy, dx, c} x4[i+m, j+n, (dy,dx,c)]
+                          * W7[f*m + dy + P - a, f*n + dx + P - b, c, o]
+
+where x4 is the f x f space-to-depth of x and P is the original padding.
+That is ONE dense conv with kernel (KH, KW) = ceil((K-1+f)/f + adjustments),
+f^2*3 input channels and f^2*16 output channels, followed by depth-to-space.
+At f=4: 48 -> 256 channels on a quarter-resolution grid — full MXU lanes.
+FLOPs grow by the kernel zero-padding factor (~5x of a tiny op) but wall
+clock drops by an order of magnitude.
+
+Weights are rearranged exactly (zero-filled where f*m + dy + P - a falls
+outside the 7x7 kernel); equality with the direct conv is tested to fp
+tolerance in tests/test_polyphase.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def fold_conv_poly(
+    w: np.ndarray, stride: int, pad: int, f_in: int, f_out: int
+) -> tuple[np.ndarray, int, int]:
+    """General polyphase fold: a (K, K, C, O) conv with ``stride`` and
+    ``pad``, whose input lives on an ``f_in`` space-to-depth grid and whose
+    output should live on an ``f_out`` grid, becomes a dense stride-1 conv
+    with channels (f_in^2*C) -> (f_out^2*O).  Requires
+    ``stride * f_out == f_in``.
+
+    Derivation: y[f_out*i + a] = sum_p x[stride*(f_out*i + a) + p - pad] W[p]
+    and the x index rewritten on the f_in grid as f_in*(i+m) + dy gives
+    m = floor((stride*a + p - pad)/f_in), dy = (stride*a + p - pad) % f_in.
+
+    Returns (w_poly (KH, KW, f_in^2*C, f_out^2*O), pad_lo, pad_hi).
+    """
+    K = w.shape[0]
+    C, O = w.shape[2], w.shape[3]
+    assert stride * f_out == f_in, (stride, f_out, f_in)
+    lo = (0 - pad) // f_in
+    hi = (stride * (f_out - 1) + K - 1 - pad) // f_in
+    KH = hi - lo + 1
+    wp = np.zeros((KH, KH, f_in * f_in * C, f_out * f_out * O), np.float32)
+    for a in range(f_out):
+        for b in range(f_out):
+            for p in range(K):
+                for q in range(K):
+                    ia = stride * a + p - pad
+                    ib = stride * b + q - pad
+                    m, dy = ia // f_in, ia % f_in
+                    n, dx = ib // f_in, ib % f_in
+                    ci = (dy * f_in + dx) * C
+                    co = (a * f_out + b) * O
+                    wp[m - lo, n - lo, ci : ci + C, co : co + O] = w[p, q]
+    return wp, -lo, hi
+
+
+def fold_stem_weights(w7: np.ndarray, f: int = 4, pad: int = 3):
+    """Rearrange a (K, K, C, O) stride-1 conv kernel into the polyphase
+    kernel (KH, KW, f*f*C, f*f*O) plus the conv padding to use.
+
+    Returns (w_poly, pad_lo, pad_hi).
+    """
+    K = w7.shape[0]
+    C, O = w7.shape[2], w7.shape[3]
+    # m ranges so that p = f*m + dy + pad - a stays within [0, K) for some
+    # dy, a in [0, f): p_min when m minimal...
+    m_lo = -((pad + f - 1) // f)  # floor((0 - (f-1) - pad)/f) inclusive
+    m_lo = (0 - (f - 1) - pad) // f
+    m_hi = (K - 1 + 0 - 0 - pad + f - 1) // f  # max over dy=0, a=f-1
+    m_hi = (K - 1 - pad + (f - 1)) // f
+    KH = m_hi - m_lo + 1
+    w = np.zeros((KH, KH, f * f * C, f * f * O), dtype=np.float32)
+    for a in range(f):
+        for b in range(f):
+            for m in range(m_lo, m_hi + 1):
+                for n in range(m_lo, m_hi + 1):
+                    for dy in range(f):
+                        for dx in range(f):
+                            p = f * m + dy + pad - a
+                            q = f * n + dx + pad - b
+                            if 0 <= p < K and 0 <= q < K:
+                                ci = (dy * f + dx) * C
+                                co = (a * f + b) * O
+                                w[m - m_lo, n - m_lo, ci : ci + C, co : co + O] = w7[
+                                    p, q
+                                ]
+    return w, -m_lo, m_hi
+
+
+def space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
+
+
+def depth_to_space(x: jax.Array, f: int) -> jax.Array:
+    n, h, w, c = x.shape
+    o = c // (f * f)
+    x = x.reshape(n, h, w, f, f, o)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * f, w * f, o)
+
+
+class PolyphaseFrontend:
+    """Polyphase execution of the DRN-D frontend (layers 0..2) entirely in
+    space-to-depth domain — the three low-channel full/half-resolution convs
+    that dominate wall clock otherwise.
+
+    layer0 (7x7 s1 3->16, pad 3)  : f=4 -> f=4 grid, 48 -> 256 channels
+    layer1 (3x3 s1 16->16, pad 1) : f=4 -> f=4 grid, 256 -> 256 channels
+    layer2 (3x3 s2 16->32, pad 1) : f=4 -> f=2 grid, 256 -> 128 channels
+    then one depth-to-space(2) emits the (H/2, W/2, 32) tensor layer3 expects.
+
+    BN must already be folded into the conv biases (tpuseg.ops.fold_bn).
+    Exactness vs the direct path is tested in tests/test_polyphase.py.
+    """
+
+    def __init__(self, params, names=("layer.0.0", "layer.1.0", "layer.2.0"),
+                 f: int = 4, dtype=jnp.bfloat16):
+        self.f = f
+        specs = [  # (stride, pad, f_in, f_out)
+            (1, 3, f, f),
+            (1, 1, f, f),
+            (2, 1, f, f // 2),
+        ]
+        self.convs = []
+        for name, (stride, pad, fi, fo) in zip(names, specs):
+            w = np.asarray(params[f"{name}.weight"], np.float32)
+            bias = np.asarray(params[f"{name}.bias"], np.float32)
+            wp, plo, phi = fold_conv_poly(w, stride, pad, fi, fo)
+            bias_p = np.tile(bias, fo * fo)
+            self.convs.append(
+                (jnp.asarray(wp, dtype), jnp.asarray(bias_p, dtype), plo, phi)
+            )
+        self.out_f = specs[-1][3]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = self.convs[0][0].dtype
+        x = space_to_depth(x.astype(dtype), self.f)
+        for wp, bias, plo, phi in self.convs:
+            x = jax.lax.conv_general_dilated(
+                x, wp, (1, 1), [(plo, phi), (plo, phi)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jax.nn.relu(x + bias)
+        return depth_to_space(x, self.out_f)
+
+
+class PolyphaseStem:
+    """Precomputed polyphase replacement for a stride-1 KxK stem conv."""
+
+    def __init__(self, w7, bias=None, f: int = 4, pad: int = 3, dtype=jnp.bfloat16):
+        w_poly, self.pad_lo, self.pad_hi = fold_stem_weights(
+            np.asarray(w7, np.float32), f, pad
+        )
+        self.w = jnp.asarray(w_poly, dtype)
+        self.f = f
+        self.bias = None if bias is None else jnp.asarray(bias)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        f = self.f
+        n, h, w, _ = x.shape
+        assert h % f == 0 and w % f == 0, (h, w, f)
+        x4 = space_to_depth(x.astype(self.w.dtype), f)
+        y4 = jax.lax.conv_general_dilated(
+            x4,
+            self.w,
+            window_strides=(1, 1),
+            padding=[(self.pad_lo, self.pad_hi), (self.pad_lo, self.pad_hi)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = depth_to_space(y4, f)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y

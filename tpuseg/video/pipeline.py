@@ -106,11 +106,21 @@ class VideoSegmenter:
         fused_upsample: bool = True,
         fold_batchnorm: bool = True,
     ):
+        stem_fn = None
+        stem_stages = 1
         if fold_batchnorm:
             from tpuseg.ops.fold_bn import fold_bn
 
             params = fold_bn(params, bn_state, spec)
             bn_state = {}
+            if spec.variant == "D":
+                from tpuseg.ops.polyphase import PolyphaseFrontend
+
+                stem_fn = PolyphaseFrontend(
+                    params,
+                    dtype=compute_dtype if compute_dtype is not None else jnp.float32,
+                )
+                stem_stages = 3
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
         self.spec = spec
@@ -123,6 +133,13 @@ class VideoSegmenter:
         def program(params, bn_state, frames_u8):
             x = frames_u8.astype(jnp.float32) / 255.0
             x = (x - mean) / std
+            use_stem = (
+                stem_fn is not None
+                and x.shape[1] % 4 == 0
+                and x.shape[2] % 4 == 0
+            )
+            sf = stem_fn if use_stem else None
+            ss = stem_stages if use_stem else 1
             if fused_upsample:
                 # logits at stride 8; fused upsample+argmax avoids writing the
                 # full-res 19-channel tensor to HBM
@@ -131,12 +148,14 @@ class VideoSegmenter:
                 _, seg, _ = drnseg_forward(
                     params, bn_state, x, spec,
                     train=False, compute_dtype=compute_dtype, upsample=False,
+                    stem_fn=sf, stem_stages=ss,
                 )
                 ids = upsample_argmax(seg, params["up.weight"])
             else:
                 logp, _, _ = drnseg_forward(
                     params, bn_state, x, spec,
                     train=False, compute_dtype=compute_dtype,
+                    stem_fn=sf, stem_stages=ss,
                 )
                 ids = jnp.argmax(logp, axis=-1)
             # inputs not divisible by 8 round the feature grid up, so the
