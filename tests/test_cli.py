@@ -1,0 +1,91 @@
+"""End-to-end CLI tests on a fabricated miniature Cityscapes-format dataset
+(file lists + info.json), covering train, test, multi-scale test, save-vis,
+and the sweeper."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpuseg.cli.semantic_seg import main as seg_main
+from tpuseg.cli.expander_batch import main as sweep_main
+
+
+@pytest.fixture()
+def mini_cityscapes(tmp_path):
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "img", exist_ok=True)
+    for phase, n in [("train", 4), ("val", 2)]:
+        names_i, names_l = [], []
+        for i in range(n):
+            img = rng.integers(0, 255, size=(32, 64, 3), dtype=np.uint8)
+            lbl = rng.integers(0, 19, size=(32, 64)).astype(np.uint8)
+            Image.fromarray(img).save(tmp_path / "img" / f"{phase}{i}.png")
+            Image.fromarray(lbl).save(tmp_path / "img" / f"{phase}{i}_l.png")
+            names_i.append(f"img/{phase}{i}.png")
+            names_l.append(f"img/{phase}{i}_l.png")
+        (tmp_path / f"{phase}_images.txt").write_text("\n".join(names_i))
+        (tmp_path / f"{phase}_labels.txt").write_text("\n".join(names_l))
+    (tmp_path / "info.json").write_text(
+        json.dumps({"mean": [0.29, 0.33, 0.29], "std": [0.18, 0.19, 0.18]})
+    )
+    return tmp_path
+
+
+def test_train_and_test_on_files(mini_cityscapes, tmp_path):
+    save = str(tmp_path / "run")
+    seg_main([
+        "train", "-d", str(mini_cityscapes), "-s", "32",
+        "--batch-size", "2", "--epochs", "1", "--dtype", "float32",
+        "--save-dir", save,
+    ])
+    assert os.path.exists(os.path.join(save, "checkpoint.npz"))
+    seg_main([
+        "test", "-d", str(mini_cityscapes), "--batch-size", "2",
+        "--dtype", "float32",
+        "--pretrained", os.path.join(save, "checkpoint.npz"),
+        "--save-dir", save,
+    ])
+
+
+def test_multiscale_test_and_savevis(mini_cityscapes, tmp_path, capsys):
+    save = str(tmp_path / "ms")
+    seg_main([
+        "test", "-d", str(mini_cityscapes), "--ms", "--scales", "0.5,1.5",
+        "--dtype", "float32", "--save-dir", save, "--save-vis",
+    ])
+    out = capsys.readouterr().out
+    assert "miou" in out
+    pred_dir = os.path.join(save, "pred", "img")
+    color_dir = os.path.join(save, "pred_color", "img")
+    assert len(os.listdir(pred_dir)) == 2
+    assert len(os.listdir(color_dir)) == 2
+    # colorized output is RGB, id output is single channel
+    c = np.asarray(Image.open(os.path.join(color_dir, os.listdir(color_dir)[0])))
+    assert c.ndim == 3 and c.shape[2] == 3
+
+
+def test_calc(capsys):
+    seg_main(["calc", "--crop-size", "64"])
+    out = capsys.readouterr().out
+    blob = json.loads(out.strip().splitlines()[-1])
+    assert blob["params"] > 15_000_000  # DRN-D-22 seg ~16M params
+
+
+def test_sweeper_dry_run(tmp_path, capsys):
+    sweep_main([
+        "--dataset", "cityscapes", "--arch", "drn_d_22",
+        "--sparsities", "0.5", "--iblocks", "1x1",
+        "--out-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "semantic_seg train" in out
+    cfgs = [f for f in os.listdir(tmp_path) if f.endswith(".json")]
+    assert len(cfgs) == 1
+    cfg = json.loads((tmp_path / cfgs[0]).read_text())
+    assert cfg["pruner_type"] == "srmbrep"
+    layers = [c["layer_set"][0] for c in cfg["configs"]]
+    assert "layer.0.0.weight" not in layers  # first conv excluded
+    assert all(not l.startswith(("seg", "up", "fc")) for l in layers)

@@ -49,6 +49,8 @@ def parse_args(argv=None):
     p.add_argument("--save-dir", default="runs/seg")
     p.add_argument("--ms", action="store_true", help="multi-scale test")
     p.add_argument("--scales", default="0.5,0.75,1.25,1.5,1.75")
+    p.add_argument("--save-vis", action="store_true",
+                   help="dump class-id and colorized prediction PNGs")
     # pruning (reference flags: --mc_pruning, --pr_config_path, --pr_static)
     p.add_argument("--mc-pruning", action="store_true")
     p.add_argument("--pr-config-path", default=None)
@@ -267,12 +269,28 @@ def cmd_train(args):
     return best_miou
 
 
+def _save_predictions(preds, names, out_dir, palette=None):
+    """save_output_images / save_colorful_images parity
+    (semantic_seg.py:85-112)."""
+    from PIL import Image
+
+    for pred, name in zip(preds, names):
+        fn = os.path.join(out_dir, str(name)[:-4] + ".png")
+        os.makedirs(os.path.dirname(fn) or ".", exist_ok=True)
+        arr = pred.astype(np.uint8)
+        if palette is not None:
+            arr = palette[arr]
+        Image.fromarray(arr).save(fn)
+
+
 def cmd_test(args):
     import jax
     import jax.numpy as jnp
 
+    from tpuseg.data.cityscapes import CITYSCAPE_PALETTE
     from tpuseg.data.loaders import batch_iterator, prefetch_to_device
     from tpuseg.metrics import fast_hist, miou_from_hist, per_class_iu
+    from tpuseg.models.drnseg import drnseg_forward
     from tpuseg.train import make_eval_step
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
@@ -282,16 +300,64 @@ def cmd_test(args):
         from tpuseg.sparsity import apply_masks
 
         params = apply_masks(params, masks)
-    val_ds = build_dataset(args, "val" if not args.synthetic else "train")
-    eval_fn = jax.jit(make_eval_step(spec, "seg", compute_dtype=compute_dtype))
 
     hist = np.zeros((args.classes, args.classes), dtype=np.int64)
-    for batch in prefetch_to_device(batch_iterator(val_ds, args.batch_size)):
-        images, labels = batch[0], batch[1]
-        _, preds = eval_fn(params, state, images, labels)
-        hist += fast_hist(
-            np.asarray(preds).flatten(), np.asarray(labels).flatten(), args.classes
+
+    if args.ms:
+        # multi-scale evaluation (test_ms, semantic_seg.py:507-557): forward
+        # at the base scale + each extra scale, bilinear-resize the logits
+        # back (device-side), sum, argmax
+        from tpuseg.data import SegListMS
+        from tpuseg.data import transforms as T
+        from tpuseg.data.cityscapes import load_info
+
+        scales = [float(s) for s in args.scales.split(",")]
+        info = load_info(args.data_dir)
+        ts = T.Compose([T.ToArray(), T.Normalize(info["mean"], info["std"])])
+        ds = SegListMS(args.data_dir, "val", ts, scales, list_dir=args.list_dir)
+
+        fwd = jax.jit(
+            lambda p, s, v: drnseg_forward(
+                p, s, v, spec, train=False, compute_dtype=compute_dtype
+            )[0],
+            static_argnames=(),
         )
+
+        for idx in range(len(ds)):
+            item = ds[idx]
+            image, label, name, ms_images = item[0], item[1], item[-2], item[-1]
+            h, w = image.shape[:2]
+            total = np.zeros((h, w, args.classes), np.float32)
+            for im in [image] + list(ms_images):
+                out = fwd(params, state, jnp.asarray(im)[None])
+                out = jax.image.resize(out[0], (h, w, args.classes), "bilinear")
+                total += np.asarray(out, np.float32)
+            pred = total.argmax(axis=-1)
+            if args.save_vis:
+                out_dir = join(args.save_dir, "pred")
+                _save_predictions([pred], [name], out_dir)
+                _save_predictions(
+                    [pred], [name], out_dir + "_color", CITYSCAPE_PALETTE
+                )
+            hist += fast_hist(pred.flatten(), np.asarray(label).flatten(),
+                              args.classes)
+    else:
+        val_ds = build_dataset(args, "val" if not args.synthetic else "train")
+        eval_fn = jax.jit(make_eval_step(spec, "seg", compute_dtype=compute_dtype))
+        for batch in prefetch_to_device(batch_iterator(val_ds, args.batch_size)):
+            images, labels = batch[0], batch[1]
+            _, preds = eval_fn(params, state, images, labels)
+            if args.save_vis and len(batch) > 2:
+                out_dir = join(args.save_dir, "pred")
+                _save_predictions(np.asarray(preds), batch[2], out_dir)
+                _save_predictions(
+                    np.asarray(preds), batch[2], out_dir + "_color",
+                    CITYSCAPE_PALETTE,
+                )
+            hist += fast_hist(
+                np.asarray(preds).flatten(), np.asarray(labels).flatten(),
+                args.classes,
+            )
     ious = per_class_iu(hist) * 100
     miou = miou_from_hist(hist)
     print(" ".join(f"{i:.2f}" for i in ious))
