@@ -81,3 +81,45 @@ def test_batch_stays_sharded_through_metrics():
     mesh = make_mesh()
     x = shard_batch(mesh, jnp.ones((16, 4)))
     assert x.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_2d_mesh_train_step():
+    """data x spatial 2-D mesh: batch sharded over 'data', H over 'spatial'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    tx = make_sgd(0.01, weight_decay=0.0)
+    ts = create_train_state(params, state, tx)
+    step = make_seg_train_step(spec, tx, compute_dtype=None)
+
+    rng = np.random.default_rng(3)
+    images = rng.random((4, 32, 32, 3), dtype=np.float32)
+    labels = rng.integers(0, 19, size=(4, 32, 32))
+
+    ts1, m1 = jax.jit(step)(ts, jnp.asarray(images), jnp.asarray(labels))
+
+    mesh = make_mesh(data=4, spatial=2)
+    ts_r = replicate(mesh, ts)
+    img_s = jax.device_put(
+        jnp.asarray(images), NamedSharding(mesh, P("data", "spatial"))
+    )
+    lbl_s = jax.device_put(
+        jnp.asarray(labels), NamedSharding(mesh, P("data", "spatial"))
+    )
+    pstep = jax.jit(step, donate_argnums=())
+    ts2, m2 = pstep(ts_r, img_s, lbl_s)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ts1.params["seg.weight"]),
+        np.asarray(ts2.params["seg.weight"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_dryrun_multichip_entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -1,0 +1,98 @@
+"""Sparse conv lowering: correctness vs masked dense conv (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tpuseg.ops.sparse_conv as sc
+from tpuseg.models.drn import conv2d
+from tpuseg.ops.sparse_conv import (
+    bsr_matmul_xw,
+    pack_xw_bsr,
+    plan_sparse_conv,
+    sparse_conv_apply,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        sc.pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+
+
+def _coarse_mask(rng, K, M, density, bk=128, bm=128):
+    nz = (rng.random((K // bk, M // bm)) < density).astype(np.float32)
+    nz[0, :] = 1  # every column block keeps at least one
+    return np.kron(nz, np.ones((bk, bm), np.float32))
+
+
+def test_xw_bsr_matmul():
+    rng = np.random.default_rng(0)
+    K, M, P = 256, 384, 256
+    w = rng.normal(size=(K, M)).astype(np.float32)
+    mask = _coarse_mask(rng, K, M, 0.4)
+    packed = pack_xw_bsr(w * mask, dtype=jnp.float32)
+    x = rng.normal(size=(P, K)).astype(np.float32)
+    y = bsr_matmul_xw(jnp.asarray(x), packed, bp=128)
+    np.testing.assert_allclose(np.asarray(y), x @ (w * mask), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kernel,dilation", [(1, 1), (3, 1), (3, 2)])
+def test_sparse_conv_matches_masked_dense(kernel, dilation):
+    rng = np.random.default_rng(1)
+    cin = cout = 256
+    w = rng.normal(size=(kernel, kernel, cin, cout)).astype(np.float32)
+    coarse = np.array([[1, 0], [1, 1]], dtype=np.float32)  # 75% block density
+    mask2d = np.kron(coarse, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (kernel, kernel, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, cin)).astype(np.float32))
+
+    plan = plan_sparse_conv(w, mask, dtype=jnp.float32)
+    assert plan.density < 0.9
+    y = sparse_conv_apply(x, plan, dilation=dilation, bp=128)
+
+    pad = dilation * (kernel - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_plan_keeps_fine_masks_dense():
+    """RBGP-style fine blocklets coarsen to fully dense -> dense path."""
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(1, 1, 128, 128)).astype(np.float32)
+    fine = (rng.random((128, 128)) < 0.5).astype(np.float32)  # 1x1 blocklets
+    plan = plan_sparse_conv(w, fine[None, None], dtype=jnp.float32)
+    assert plan.density == 1.0
+    assert not isinstance(plan.taps[0][2], sc.XwBsr)
+
+
+@pytest.mark.parametrize("kernel,dilation", [(3, 1), (3, 2), (1, 1)])
+def test_fused_sparse_conv_matches_masked_dense(kernel, dilation):
+    from tpuseg.ops.sparse_conv import fused_sparse_conv_apply, plan_fused_sparse_conv
+
+    rng = np.random.default_rng(4)
+    cin = cout = 256
+    w = rng.normal(size=(kernel, kernel, cin, cout)).astype(np.float32)
+    coarse = np.array([[1, 0], [1, 1]], dtype=np.float32)
+    mask2d = np.kron(coarse, np.ones((128, 128), np.float32))
+    # vary the mask per tap to exercise per-tap supports
+    mask = np.stack([
+        np.stack([np.roll(mask2d, t, axis=0 if kernel > 1 else 1)
+                  for t in range(kernel)], 0)
+        for _ in range(kernel)
+    ], 0).reshape(kernel, kernel, cin, cout)
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cin)).astype(np.float32))
+    plan = plan_fused_sparse_conv(w, mask, dilation=dilation, dtype=jnp.float32)
+    y = fused_sparse_conv_apply(x, plan, rows_per_tile=4)
+
+    pad = dilation * (kernel - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)

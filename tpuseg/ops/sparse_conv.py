@@ -1,0 +1,353 @@
+"""Block-sparse convolution lowering.
+
+Turns a masked conv weight into real skipped work on the MXU:
+
+- the (kh*kw) taps of a conv are each a (Cin, Cout) matmul over the pixel
+  dimension; a masked weight gives every tap its own block-sparsity pattern;
+- activations stay NHWC: the kernel computes  y[P, Cout] += x_tap[P, Cin] @
+  W_tap[Cin, Cout]  with the *weight column blocks* gathered per output
+  row-block (``bsr_matmul_xw``), so no activation transposes are needed;
+- a per-layer plan coarsens the mask to the (BK, BM) = (128, 128) kernel
+  grid and picks sparse vs dense per tap: fine-grained RBGP blocklets
+  (1x1/2x2 at 50%) coarsen to fully dense and stay on the dense path —
+  skipping work below one MXU tile is not physically possible — while
+  BlockPruner/HB/grouping masks with coarse geometry and high sparsity get
+  real wall-clock wins (see bench_sparse.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@dataclasses.dataclass
+class XwBsr:
+    """Column-block-sparse weight for y = x @ W (W: (K, M))."""
+
+    vals: jax.Array  # (ncb_out, S*BK, BM) row-padded support per out col-block
+    rows: jax.Array  # (ncb_out, S) int32 K-block indices (padded w/ repeats)
+    shape: tuple[int, int]  # (K, M)
+    bk: int
+    bm: int
+    s: int
+    block_density: float
+
+
+def pack_xw_bsr(w_km: np.ndarray, bk: int = 128, bm: int = 128, dtype=jnp.bfloat16) -> XwBsr:
+    """Pack a masked (K, M) weight: for each M-block, keep the K-blocks with
+    any nonzero, padded to the densest column's count."""
+    K, M = w_km.shape
+    assert K % bk == 0 and M % bm == 0
+    nkb, nmb = K // bk, M // bm
+    blocks = w_km.reshape(nkb, bk, nmb, bm)
+    nz = np.abs(blocks).sum(axis=(1, 3)) > 0  # (nkb, nmb)
+    counts = nz.sum(axis=0)
+    S = max(int(counts.max()), 1)
+    vals = np.zeros((nmb, S, bk, bm), np.float32)
+    rows = np.zeros((nmb, S), np.int32)
+    for j in range(nmb):
+        ks = np.flatnonzero(nz[:, j])
+        for s, k in enumerate(ks):
+            vals[j, s] = blocks[k, :, j, :]
+            rows[j, s] = k
+    return XwBsr(
+        vals=jnp.asarray(vals.reshape(nmb, S * bk, bm), dtype),
+        rows=jnp.asarray(rows),
+        shape=(K, M),
+        bk=bk,
+        bm=bm,
+        s=S,
+        block_density=float(nz.mean()),
+    )
+
+
+def bsr_matmul_xw(x: jax.Array, w: XwBsr, bp: int = 512, out_dtype=jnp.float32) -> jax.Array:
+    """y (P, M) = x (P, K) @ W_sparse (K, M), gathering x's K-columns per
+    output column-block via DMA."""
+    P, K = x.shape
+    assert K == w.shape[0]
+    M = w.shape[1]
+    bp = min(bp, P)
+    assert P % bp == 0, (P, bp)
+    S, bk, bm = w.s, w.bk, w.bm
+
+    def kernel(rows_ref, vals_ref, x_hbm, y_ref, xg, sem):
+        i = pl.program_id(0)  # P tile
+        j = pl.program_id(1)  # M block
+
+        def gather(s, _):
+            k = rows_ref[j, s]
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * bp, bp), pl.ds(k * bk, bk)],
+                xg.at[:, pl.ds(s * bk, bk)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, S, gather, 0)
+        y_ref[:] = jax.lax.dot_general(
+            xg[:],
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y_ref.dtype)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(P // bp, M // bm),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S * bk, bm), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((bp, bm), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((P, M), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bp, S * bk), w.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (M // bm) * S * bk * bm * P,
+            bytes_accessed=int(w.vals.size) * 2 + x.size * 2 + M * P * 4,
+            transcendentals=0,
+        ),
+    )(w.rows, w.vals, x.astype(w.vals.dtype))
+    return y
+
+
+# --------------------------------------------------------------------------
+# conv lowering
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SparseConvPlan:
+    taps: list  # list of (dy, dx, XwBsr | jnp dense (Cin, Cout))
+    kernel: int
+    dilation: int
+    cin: int
+    cout: int
+    density: float  # mean coarsened block density across taps
+
+
+def plan_sparse_conv(
+    w_hwio: np.ndarray,
+    mask_hwio: np.ndarray,
+    dense_threshold: float = 0.9,
+    dtype=jnp.bfloat16,
+) -> SparseConvPlan:
+    """Build per-tap sparse/dense lowerings from a masked HWIO weight.
+    Only stride-1 convs are lowered (DRN's FLOP-heavy dilated layers are
+    stride 1)."""
+    kh, kw, cin, cout = w_hwio.shape
+    wm = np.asarray(w_hwio, np.float32) * np.asarray(mask_hwio, np.float32)
+    taps = []
+    densities = []
+    for p in range(kh):
+        for q in range(kw):
+            km = wm[p, q]  # (Cin, Cout)
+            if cin % 128 or cout % 128:
+                taps.append((p, q, jnp.asarray(km, dtype)))
+                densities.append(1.0)
+                continue
+            packed = pack_xw_bsr(km, dtype=dtype)
+            densities.append(packed.block_density)
+            if packed.block_density >= dense_threshold:
+                taps.append((p, q, jnp.asarray(km, dtype)))
+            else:
+                taps.append((p, q, packed))
+    return SparseConvPlan(
+        taps=taps, kernel=kh, dilation=1, cin=cin, cout=cout,
+        density=float(np.mean(densities)),
+    )
+
+
+@dataclasses.dataclass
+class FusedSparseConv:
+    """Packed operand for the fused-tap sparse conv kernel."""
+
+    vals: jax.Array   # (nmb, T*S*bk, bm) — per out-block, taps x support stacked
+    rows: jax.Array   # (nmb, T*S) int32 K-block index per gather slot
+    taps: np.ndarray  # (T, 2) (dy, dx) pixel offsets into the padded input
+    s: int            # support slots per tap (padded)
+    bk: int
+    bm: int
+    kernel: int
+    dilation: int
+    cin: int
+    cout: int
+    block_density: float
+
+
+def plan_fused_sparse_conv(
+    w_hwio: np.ndarray,
+    mask_hwio: np.ndarray,
+    dilation: int = 1,
+    dtype=jnp.bfloat16,
+    bk: int = 128,
+    bm: int = 128,
+) -> FusedSparseConv:
+    """Pack a masked stride-1 conv for the fused kernel: for every output
+    channel block and tap, the list of nonzero input-channel blocks (padded
+    to the global max support S; pad slots re-gather block 0 against zero
+    weights)."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert cin % bk == 0 and cout % bm == 0
+    wm = np.asarray(w_hwio, np.float32) * np.asarray(mask_hwio, np.float32)
+    nkb, nmb = cin // bk, cout // bm
+    T = kh * kw
+    nz = np.zeros((nmb, T, nkb), bool)
+    for t in range(T):
+        p, q = divmod(t, kw)
+        blocks = wm[p, q].reshape(nkb, bk, nmb, bm)
+        nz[:, t, :] = (np.abs(blocks).sum(axis=(1, 3)) > 0).T
+    S = max(int(nz.sum(axis=2).max()), 1)
+    vals = np.zeros((nmb, T, S, bk, bm), np.float32)
+    rows = np.zeros((nmb, T, S), np.int32)
+    for j in range(nmb):
+        for t in range(T):
+            p, q = divmod(t, kw)
+            ks = np.flatnonzero(nz[j, t])
+            for s_i, k in enumerate(ks):
+                vals[j, t, s_i] = wm[p, q][k * bk : (k + 1) * bk, j * bm : (j + 1) * bm]
+                rows[j, t, s_i] = k
+    taps = np.array(
+        [(p * dilation, q * dilation) for p in range(kh) for q in range(kw)],
+        np.int32,
+    )
+    return FusedSparseConv(
+        vals=jnp.asarray(vals.reshape(nmb, T * S * bk, bm), dtype),
+        rows=jnp.asarray(rows.reshape(nmb, T * S)),
+        taps=taps,
+        s=S,
+        bk=bk,
+        bm=bm,
+        kernel=kh,
+        dilation=dilation,
+        cin=cin,
+        cout=cout,
+        block_density=float(nz.mean()),
+    )
+
+
+def fused_sparse_conv_apply(
+    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int = 4,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Stride-1 'same' sparse conv: ONE (R*W x T*S*bk) @ (T*S*bk x bm) dot
+    per (spatial tile, out-channel block), with all taps' K-supports
+    DMA-gathered from the spatially padded input in HBM."""
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    R = rows_per_tile
+    assert h % R == 0, (h, R)
+    xp = jnp.pad(x.astype(plan.vals.dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    taps = jnp.asarray(plan.taps)
+
+    def kernel_fn(rows_ref, tap_ref, vals_ref, xp_hbm, y_ref, xg, sem):
+        ij = pl.program_id(0)
+        jb = pl.program_id(1)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+
+        def gather(slot, _):
+            t = slot // S
+            dy = tap_ref[t, 0]
+            dx = tap_ref[t, 1]
+            kblk = rows_ref[jb, slot]
+            cp = pltpu.make_async_copy(
+                xp_hbm.at[
+                    nb,
+                    pl.ds(hb * R + dy, R),
+                    pl.ds(dx, w_),
+                    pl.ds(kblk * bk, bk),
+                ],
+                xg.at[:, :, pl.ds(slot * bk, bk)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, T * S, gather, 0)
+        xmat = xg[:].reshape(R * w_, T * S * bk)
+        y_ref[:] = jax.lax.dot_general(
+            xmat,
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(1, R, w_, bm).astype(y_ref.dtype)
+
+    nmb = plan.cout // bm
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R), nmb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rows (nmb, T*S)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # taps (T, 2)
+            pl.BlockSpec((1, T * S * bk, bm), lambda ij, jb: (jb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded x in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, bm), lambda ij, jb: (ij // (h // R), ij % (h // R), 0, jb)
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R, w_, T * S * bk), plan.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * nmb * T * S * bk * bm,
+            bytes_accessed=int(plan.vals.size) * 2
+            + int(xp.size) * 2 * nmb
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(plan.rows, taps, plan.vals, xp)
+    return y
+
+
+def sparse_conv_apply(
+    x: jax.Array, plan: SparseConvPlan, dilation: int = 1, bp: int = 512
+) -> jax.Array:
+    """Stride-1 conv with per-tap block-sparse matmuls.  x: (N, H, W, Cin),
+    'same' padding = dilation * (k-1)/2 like the DRN convs."""
+    n, h, w_, cin = x.shape
+    k = plan.kernel
+    pad = dilation * (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    P = n * h * w_
+    # pad P to the kernel tile
+    P_pad = -(-P // bp) * bp
+    y = jnp.zeros((P_pad, plan.cout), jnp.float32)
+    for p, q, wt in plan.taps:
+        dy, dx = p * dilation, q * dilation
+        x_tap = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, w_, cin))
+        flat = x_tap.reshape(P, cin)
+        if P_pad != P:
+            flat = jnp.pad(flat, ((0, P_pad - P), (0, 0)))
+        if isinstance(wt, XwBsr):
+            y = y + bsr_matmul_xw(flat, wt, bp=bp)
+        else:
+            y = y + jnp.dot(
+                flat.astype(wt.dtype), wt, preferred_element_type=jnp.float32
+            )
+    return y[:P].reshape(n, h, w_, plan.cout)
