@@ -199,10 +199,15 @@ def plan_fused_sparse_conv(
     bk: int = 128,
     bm: int = 128,
 ) -> FusedSparseConv:
-    """Pack a masked stride-1 conv for the fused kernel: for every output
-    channel block and tap, the list of nonzero input-channel blocks (padded
-    to the global max support S; pad slots re-gather block 0 against zero
-    weights)."""
+    """Pack a masked stride-1 conv for the fused kernel.
+
+    Per output-channel block, the *union* over taps of nonzero input-channel
+    blocks is gathered (padded to the global max S); the weights are laid
+    out tap-major on that union (zero tiles where a tap lacks a block), so
+    the kernel's single dot computes at union density.  Spatial tap shifts
+    happen as static register slices of the gathered halo slab — TPU DMA
+    cannot slice the tiled W dimension at non-8-multiple offsets.
+    """
     kh, kw, cin, cout = w_hwio.shape
     assert cin % bk == 0 and cout % bm == 0
     wm = np.asarray(w_hwio, np.float32) * np.asarray(mask_hwio, np.float32)
@@ -213,23 +218,27 @@ def plan_fused_sparse_conv(
         p, q = divmod(t, kw)
         blocks = wm[p, q].reshape(nkb, bk, nmb, bm)
         nz[:, t, :] = (np.abs(blocks).sum(axis=(1, 3)) > 0).T
-    S = max(int(nz.sum(axis=2).max()), 1)
+    union = nz.any(axis=1)  # (nmb, nkb)
+    S = max(int(union.sum(axis=1).max()), 1)
     vals = np.zeros((nmb, T, S, bk, bm), np.float32)
-    rows = np.zeros((nmb, T, S), np.int32)
+    rows = np.zeros((nmb, S), np.int32)
     for j in range(nmb):
-        for t in range(T):
-            p, q = divmod(t, kw)
-            ks = np.flatnonzero(nz[j, t])
-            for s_i, k in enumerate(ks):
-                vals[j, t, s_i] = wm[p, q][k * bk : (k + 1) * bk, j * bm : (j + 1) * bm]
-                rows[j, t, s_i] = k
+        ks = np.flatnonzero(union[j])
+        for s_i, k in enumerate(ks):
+            rows[j, s_i] = k
+            for t in range(T):
+                p, q = divmod(t, kw)
+                if nz[j, t, k]:
+                    vals[j, t, s_i] = wm[p, q][
+                        k * bk : (k + 1) * bk, j * bm : (j + 1) * bm
+                    ]
     taps = np.array(
         [(p * dilation, q * dilation) for p in range(kh) for q in range(kw)],
         np.int32,
     )
     return FusedSparseConv(
         vals=jnp.asarray(vals.reshape(nmb, T * S * bk, bm), dtype),
-        rows=jnp.asarray(rows.reshape(nmb, T * S)),
+        rows=jnp.asarray(rows),
         taps=taps,
         s=S,
         bk=bk,
@@ -238,17 +247,22 @@ def plan_fused_sparse_conv(
         dilation=dilation,
         cin=cin,
         cout=cout,
-        block_density=float(nz.mean()),
+        block_density=float(union.mean()),
     )
 
 
 def fused_sparse_conv_apply(
-    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int = 4,
+    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int = 8,
     out_dtype=jnp.float32,
 ) -> jax.Array:
-    """Stride-1 'same' sparse conv: ONE (R*W x T*S*bk) @ (T*S*bk x bm) dot
-    per (spatial tile, out-channel block), with all taps' K-supports
-    DMA-gathered from the spatially padded input in HBM."""
+    """Stride-1 'same' sparse conv.
+
+    Per (spatial tile, out-channel block): DMA one halo slab per union
+    support slot (aligned offsets only: H rows at tile granularity, full
+    padded width, 128-aligned channels), slice the taps out of the slab in
+    registers (static offsets), concat tap-major, and issue ONE
+    (R*W x T*S*bk) @ (T*S*bk x bm) dot.
+    """
     n, h, w_, cin = x.shape
     k, dil = plan.kernel, plan.dilation
     pad = dil * (k - 1) // 2
@@ -256,36 +270,48 @@ def fused_sparse_conv_apply(
     S, bk, bm = plan.s, plan.bk, plan.bm
     R = rows_per_tile
     assert h % R == 0, (h, R)
-    xp = jnp.pad(x.astype(plan.vals.dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    taps = jnp.asarray(plan.taps)
+    # pad W so register slices stay in bounds, rounded up to the sublane
+    # tiling (8) — Mosaic requires DMA slice shapes on the tiled W dim to be
+    # 8-aligned
+    wp = -(-(w_ + 2 * pad) // 8) * 8
+    xp = jnp.pad(
+        x.astype(plan.vals.dtype),
+        ((0, 0), (pad, pad), (pad, wp - w_ - pad), (0, 0)),
+    )
+    taps_np = plan.taps
 
-    def kernel_fn(rows_ref, tap_ref, vals_ref, xp_hbm, y_ref, xg, sem):
+    def kernel_fn(rows_ref, vals_ref, xp_hbm, y_ref, xg, sem):
         ij = pl.program_id(0)
         jb = pl.program_id(1)
         nb = ij // (h // R)
         hb = ij % (h // R)
 
-        def gather(slot, _):
-            t = slot // S
-            dy = tap_ref[t, 0]
-            dx = tap_ref[t, 1]
-            kblk = rows_ref[jb, slot]
+        def gather(s, _):
+            kblk = rows_ref[jb, s]
             cp = pltpu.make_async_copy(
                 xp_hbm.at[
                     nb,
-                    pl.ds(hb * R + dy, R),
-                    pl.ds(dx, w_),
+                    pl.ds(hb * R, R + 2 * pad),
+                    pl.ds(0, wp),
                     pl.ds(kblk * bk, bk),
                 ],
-                xg.at[:, :, pl.ds(slot * bk, bk)],
+                xg.at[:, :, pl.ds(s * bk, bk)],
                 sem,
             )
             cp.start()
             cp.wait()
             return 0
 
-        jax.lax.fori_loop(0, T * S, gather, 0)
-        xmat = xg[:].reshape(R * w_, T * S * bk)
+        jax.lax.fori_loop(0, S, gather, 0)
+        slab = xg[:]  # (R + 2*pad, wp, S*bk)
+        parts = []
+        for t in range(T):  # static unroll: offsets are Python ints
+            dy, dx = int(taps_np[t, 0]), int(taps_np[t, 1])
+            sl = jax.lax.slice(
+                slab, (dy, dx, 0), (dy + R, dx + w_, S * bk)
+            ).reshape(R * w_, S * bk)
+            parts.append(sl)
+        xmat = jnp.concatenate(parts, axis=1)  # (R*w, T*S*bk)
         y_ref[:] = jax.lax.dot_general(
             xmat,
             vals_ref[0],
@@ -298,17 +324,16 @@ def fused_sparse_conv_apply(
         kernel_fn,
         grid=(n * (h // R), nmb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rows (nmb, T*S)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # taps (T, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rows (nmb, S)
             pl.BlockSpec((1, T * S * bk, bm), lambda ij, jb: (jb, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # padded x in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),   # padded x stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, R, w_, bm), lambda ij, jb: (ij // (h // R), ij % (h // R), 0, jb)
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((R, w_, T * S * bk), plan.vals.dtype),
+            pltpu.VMEM((R + 2 * pad, wp, S * bk), plan.vals.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -321,7 +346,7 @@ def fused_sparse_conv_apply(
             + n * h * w_ * plan.cout * 4,
             transcendentals=0,
         ),
-    )(plan.rows, taps, plan.vals, xp)
+    )(plan.rows, plan.vals, xp)
     return y
 
 
