@@ -188,3 +188,20 @@ def test_parity_with_torch_drnseg():
         rtol=2e-4,
         atol=2e-4,
     )
+
+
+def test_export_state_dict_roundtrip():
+    """convert_state_dict(export_state_dict(p, s)) is identity (interop)."""
+    from tpuseg.models.torch_import import convert_state_dict, export_state_dict
+
+    params, state, _ = init_drnseg(0, "drn_d_22", 19)
+    sd = export_state_dict(params, state)
+    assert sd["layer.3.0.conv1.weight"].shape == (64, 32, 3, 3)  # OIHW
+    p2, s2 = convert_state_dict(sd)
+    for k in ("layer.3.0.conv1.weight", "seg.bias"):
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(params[k]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s2["layer.1.1.running_var"]),
+        np.asarray(state["layer.1.1.running_var"]),
+        rtol=1e-6,
+    )

@@ -35,3 +35,25 @@ def test_upsample_argmax_jits():
     ids = f(jnp.zeros((1, 4, 4, 3)))
     assert ids.shape == (1, 32, 32)
     assert ids.dtype == jnp.int32
+
+
+def test_upsample_argmax_pallas_matches(monkeypatch):
+    import tpuseg.ops.upsample as up_mod
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        return orig(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr("jax.experimental.pallas.pallas_call", interp)
+
+    from tpuseg.ops.upsample import upsample_argmax, upsample_argmax_pallas
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 6, 8, 19)).astype(np.float32))
+    k = jnp.asarray(bilinear_upsample_kernel())
+    ref = upsample_argmax(x, k)
+    out = upsample_argmax_pallas(x, k)
+    assert out.shape == (2, 48, 64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -74,3 +74,27 @@ def test_polyphase_frontend_matches_direct():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(logp), np.asarray(ref_logp),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("f", [2, 4])
+def test_polyphase_frontend_f_variants(f):
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.drnseg import drnseg_forward
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import PolyphaseFrontend
+
+    rng = np.random.default_rng(5)
+    params, state, spec = init_drnseg(1, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    x = jnp.asarray(rng.random((1, 32, 64, 3), dtype=np.float32))
+    ref_seg = jax.jit(
+        lambda p, v: drnseg_forward(p, {}, v, spec, train=False)[1]
+    )(folded, x)
+    frontend = PolyphaseFrontend(folded, f=f, dtype=jnp.float32)
+    seg = jax.jit(
+        lambda p, v: drnseg_forward(
+            p, {}, v, spec, train=False, stem_fn=frontend, stem_stages=3
+        )[1]
+    )(folded, x)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(ref_seg),
+                               rtol=1e-3, atol=1e-3)

@@ -63,6 +63,12 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--num-shards", type=int, default=1, help="hosts")
     p.add_argument("--shard-index", type=int, default=0)
+    # multi-host init (replaces --world-size/--rank/--dist-url/--dist-backend,
+    # semantic_seg.py:728-744; NCCL becomes XLA-over-ICI/DCN)
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for multi-host runs")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic samples instead of a dataset (smoke tests)")
     p.add_argument("--eval-every", type=int, default=1)
@@ -389,6 +395,12 @@ def cmd_calc(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.num_processes and args.num_processes > 1:
+        from tpuseg.parallel import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+        args.num_shards = args.num_processes
+        args.shard_index = args.process_id or 0
     if args.cmd == "train":
         cmd_train(args)
     elif args.cmd == "test":

@@ -129,6 +129,9 @@ class PolyphaseFrontend:
 
     def __init__(self, params, names=("layer.0.0", "layer.1.0", "layer.2.0"),
                  f: int = 4, dtype=jnp.bfloat16):
+        # f trades kernel-padding overcompute (grows with f) against MXU lane
+        # occupancy (64 channels at f=2 vs 256 at f=4).  Measured on v5e at
+        # 1024x2048: f=4 85.6 fps vs f=2 68.6 fps — lanes win.
         self.f = f
         specs = [  # (stride, pad, f_in, f_out)
             (1, 3, f, f),
@@ -155,6 +158,8 @@ class PolyphaseFrontend:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             x = jax.nn.relu(x + bias)
+        if self.out_f == 1:
+            return x
         return depth_to_space(x, self.out_f)
 
 

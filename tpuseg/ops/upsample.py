@@ -81,3 +81,87 @@ def upsample_argmax(seg: jax.Array, up_kernel: jax.Array) -> jax.Array:
     """
     up = upsample8_phase(seg, up_kernel)
     return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+
+def upsample_argmax_pallas(seg: jax.Array, up_kernel: jax.Array) -> jax.Array:
+    """Pallas version of ``upsample_argmax``: the full-resolution C-channel
+    logits never exist — the kernel loops over classes, computes each
+    class's x8 bilinear upsample in phase-major layout in VMEM, and keeps a
+    running (max, argmax).
+
+    VMEM budget for a (128, 256, 19) input: running max (64, h, w) f32 8 MB
+    + ids 2 MB + input ~1.3 MB.  One grid step per batch element.
+
+    EXPERIMENTAL: correct (exactly matches ``upsample_argmax``,
+    tests/test_ops.py) but the fully-unrolled classes x phases body compiles
+    extremely slowly in Mosaic at production sizes — the XLA phase version
+    is the production default (tpuseg.video uses it).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = seg.shape
+    k1 = _kernel_1d(up_kernel)
+    k0 = (11 - jnp.arange(STRIDE)) % STRIDE
+    a = k1[k0].astype(jnp.float32)
+    b = k1[k0 + STRIDE].astype(jnp.float32)
+
+    def kernel(a_ref, b_ref, seg_ref, out_ref, vmax, vids):
+        # seg_ref block: (1, h+2, w+2, c) zero-padded input
+        x_all = seg_ref[0].astype(jnp.float32)  # (h+2, w+2, c)
+
+        def upsample_1ch(x):  # (h+2, w+2) -> (8, 8, h, w)
+            # output row 8m+r combines xp[m+d], xp[m+d+1] with d = (r >= 4)
+            rows = []
+            for r in range(STRIDE):
+                d = 0 if r < 4 else 1
+                yr = a_ref[r] * x[d : d + h, :] + b_ref[r] * x[d + 1 : d + 1 + h, :]
+                rows.append(yr)  # (h, w+2)
+            yrs = jnp.stack(rows)  # (8, h, w+2)
+            cols = []
+            for cph in range(STRIDE):
+                d = 0 if cph < 4 else 1
+                yc = (
+                    a_ref[cph] * yrs[:, :, d : d + w]
+                    + b_ref[cph] * yrs[:, :, d + 1 : d + 1 + w]
+                )
+                cols.append(yc)  # (8, h, w)
+            return jnp.stack(cols, axis=1)  # (8, 8, h, w)
+
+        first = upsample_1ch(x_all[:, :, 0])
+        vmax[:] = first
+        vids[:] = jnp.zeros_like(vids)
+        for ch in range(1, c):
+            val = upsample_1ch(x_all[:, :, ch])
+            mask = val > vmax[:]
+            vmax[:] = jnp.where(mask, val, vmax[:])
+            vids[:] = jnp.where(mask, jnp.int32(ch), vids[:])
+        # emit phase-major (8r, 8c, h, w); the interleaving transpose to
+        # (8h, 8w) is a Mosaic-unsupported relayout — done outside in XLA
+        out_ref[0] = vids[:]
+
+    segp = jnp.pad(seg, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, STRIDE, STRIDE, h, w), lambda i: (i, 0, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, STRIDE, STRIDE, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((STRIDE, STRIDE, h, w), jnp.float32),
+            pltpu.VMEM((STRIDE, STRIDE, h, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(a, b, segp)
+    # (n, 8r, 8c, h, w) -> (n, h, 8r, w, 8c) -> (n, 8h, 8w)
+    return jnp.transpose(out, (0, 3, 1, 4, 2)).reshape(
+        n, h * STRIDE, w * STRIDE
+    )
