@@ -20,6 +20,18 @@ def test_phase_upsample_matches_conv():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
+def test_phase_upsample_asymmetric_kernel():
+    """Phase weights must be exact for non-symmetric separable kernels too
+    (the conv formulation flips the kernel; the index map must match)."""
+    rng = np.random.default_rng(7)
+    f1 = rng.random(16).astype(np.float32) + 0.1  # positive, asymmetric
+    k2 = jnp.asarray(np.outer(f1, f1))
+    x = jnp.asarray(rng.normal(size=(1, 5, 6, 2)).astype(np.float32))
+    ref = upsample8(x, k2)
+    out = upsample8_phase(x, k2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_upsample_argmax_matches_naive():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(1, 6, 8, 19)).astype(np.float32))

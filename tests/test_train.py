@@ -98,6 +98,9 @@ def test_multistep_schedule():
     assert sched(40) == pytest.approx(0.0001)
     assert milestones_for_epochs(200) == [40, 80, 120, 160]
     assert milestones_for_epochs(100, start_epoch=50) == [75, 100, 125]
+    assert milestones_for_epochs(150, start_epoch=10) == [50, 90, 130]
+    # only the 100/150 recipes rebase on resume (semantic_seg.py:992-1000)
+    assert milestones_for_epochs(250, start_epoch=100) == [50, 100, 150, 200]
 
 
 def test_seg_train_step_masked():

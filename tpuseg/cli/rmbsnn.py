@@ -135,6 +135,20 @@ def main(argv=None):
         if args.rejig and args.pr_static:
             params = sparsity_aware_reinit(params, masks, np.random.default_rng(args.seed))
 
+    start_epoch = 0
+    best_acc1 = 0.0
+    resume_opt = None
+    if args.resume:
+        from tpuseg.train import load_checkpoint
+
+        p, s, m, resume_opt, meta = load_checkpoint(args.resume)
+        params, state = dict(p), dict(s)
+        if m:
+            masks = m
+        start_epoch = int(meta.get("epoch", 0))
+        best_acc1 = float(meta.get("best_acc1", 0.0))
+        print(f"=> resumed '{args.resume}' (epoch {start_epoch})")
+
     steps_per_epoch = max(1, len(train_ds) // args.batch_size)
     if args.dataset == "imagenet" and args.epochs == 100:
         sched = step30_schedule(args.lr, steps_per_epoch)
@@ -144,6 +158,16 @@ def main(argv=None):
         )
     tx = make_sgd(sched, args.momentum, args.weight_decay)
     ts = create_train_state(params, state, tx, masks)
+    if resume_opt:
+        from tpuseg.train.checkpoint import restore_opt_state
+
+        ts = ts.__class__(
+            params=ts.params,
+            bn_state=ts.bn_state,
+            opt_state=restore_opt_state(ts.opt_state, resume_opt),
+            masks=ts.masks,
+            step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32),
+        )
 
     step_fn = jax.jit(make_cls_train_step(
         spec, tx, compute_dtype=compute_dtype, teacher=teacher,
@@ -169,8 +193,7 @@ def main(argv=None):
         return
 
     os.makedirs(args.save_dir, exist_ok=True)
-    best_acc1 = 0.0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         losses = AverageMeter("loss")
         accs = AverageMeter("acc")
         t0 = time.time()

@@ -264,9 +264,17 @@ def cmd_train(args):
                       "best_miou": best_miou, "dataset": "cityscapes"},
                 is_best=is_best,
             )
-        if masks is not None and masker is not None:
-            stats = mask_sparsity_stats(
-                {k: np.asarray(ts.params[k]) == 0 for k in masks}
+        if masks is not None:
+            # per-epoch pruner stats (pruner.print_stats each epoch,
+            # semantic_seg.py:1094-1095) — measured on the live weights
+            weight_sparsity = {
+                k: round(
+                    float((np.asarray(ts.params[k]) == 0).mean()) * 100, 2
+                )
+                for k in masks
+            }
+            line["mean_weight_sparsity"] = round(
+                float(np.mean(list(weight_sparsity.values()))), 2
             )
         print(json.dumps(line))
         metrics_log.write(json.dumps(line) + "\n")

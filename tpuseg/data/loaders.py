@@ -63,6 +63,7 @@ def prefetch_to_device(
     (optionally with a NamedSharding) ``size`` steps ahead of compute."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
+    error: list[BaseException] = []
 
     def producer():
         try:
@@ -74,6 +75,8 @@ def prefetch_to_device(
                     item,
                 )
                 q.put(moved)
+        except BaseException as exc:  # re-raised in the consumer
+            error.append(exc)
         finally:
             q.put(_SENTINEL)
 
@@ -82,5 +85,10 @@ def prefetch_to_device(
     while True:
         item = q.get()
         if item is _SENTINEL:
+            if error:
+                # surface producer failures instead of silently truncating
+                # the epoch (a corrupt sample would otherwise look like a
+                # short dataset and train/eval on partial data)
+                raise error[0]
             break
         yield item

@@ -275,10 +275,13 @@ def _fwd_cresnet(params, state, x, spec, train, cd, upd):
                         residual, params, state, upd, f"{name}.downsample.1", train
                     )
                 if "bottleneck" in spec.block:
-                    out = conv2d(out, params[f"{name}.conv1.weight"], s, 1, 0, cd)
+                    # preact bottleneck: 1x1 conv1 is stride 1; the 3x3
+                    # conv2 carries the stride (lmodels/cifar_resnet.py
+                    # PreActBottleneck)
+                    out = conv2d(out, params[f"{name}.conv1.weight"], 1, 1, 0, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn2", train)
                     out = jax.nn.relu(out)
-                    out = conv2d(out, params[f"{name}.conv2.weight"], 1, 1, 1, cd)
+                    out = conv2d(out, params[f"{name}.conv2.weight"], s, 1, 1, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn3", train)
                     out = jax.nn.relu(out)
                     out = conv2d(out, params[f"{name}.conv3.weight"], 1, 1, 0, cd)
@@ -515,11 +518,13 @@ def _fwd_wrn(params, state, x, spec, train, cd, upd):
             name = f"layer{g}.{b}"
             s = stride if b == 0 else 1
             # wide_basic: conv1 on relu(bn1(x)) stride 1, conv2 stride s
-            # (cifar_wrn.py:24-45; note the stride sits on conv2)
-            out = jax.nn.relu(batch_norm(x, params, state, upd, f"{name}.bn1", train, momentum=0.9))
+            # (cifar_wrn.py:24-45; the stride sits on conv2).  Block BNs use
+            # the torch default momentum (0.1); only the top-level bn1 is
+            # constructed with momentum=0.9 (cifar_wrn.py:61).
+            out = jax.nn.relu(batch_norm(x, params, state, upd, f"{name}.bn1", train))
             out = conv2d(out, params[f"{name}.conv1.weight"], 1, 1, 1, cd)
             out = out + params[f"{name}.conv1.bias"].astype(out.dtype)
-            out = jax.nn.relu(batch_norm(out, params, state, upd, f"{name}.bn2", train, momentum=0.9))
+            out = jax.nn.relu(batch_norm(out, params, state, upd, f"{name}.bn2", train))
             out = conv2d(out, params[f"{name}.conv2.weight"], s, 1, 1, cd)
             out = out + params[f"{name}.conv2.bias"].astype(out.dtype)
             if f"{name}.shortcut.0.weight" in params:

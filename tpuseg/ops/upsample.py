@@ -28,10 +28,15 @@ KSIZE = 16
 
 
 def _phase_weights(kernel_1d: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-phase 2-tap weights (a[r], b[r]) for r in [0, 8)."""
+    """Per-phase 2-tap weights (a[r], b[r]) for r in [0, 8).
+
+    Transposed-conv semantics: y[8m+r] picks kernel taps k[8m+r+4-8i], so
+    the two contributing taps are k[15-k0] and k[7-k0] with
+    k0 = (11-r) % 8 — the flip is part of the index map (exact for
+    asymmetric kernels too; tested against the conv formulation)."""
     k0 = (11 - jnp.arange(STRIDE)) % STRIDE
-    a = kernel_1d[k0]
-    b = kernel_1d[k0 + STRIDE]
+    a = kernel_1d[15 - k0]
+    b = kernel_1d[7 - k0]
     return a, b
 
 

@@ -27,10 +27,11 @@ _MILESTONE_TABLE = {
 
 
 def milestones_for_epochs(epochs: int, start_epoch: int = 0) -> list[int]:
-    if start_epoch:
-        # resume-relative milestones (semantic_seg.py:992-1000)
-        if epochs <= 100:
-            return [start_epoch + 25, start_epoch + 50, start_epoch + 75]
+    # resume-relative milestones apply ONLY for the 100/150-epoch recipes
+    # (semantic_seg.py:992-1000); other epoch counts keep their table.
+    if start_epoch and epochs == 100:
+        return [start_epoch + 25, start_epoch + 50, start_epoch + 75]
+    if start_epoch and epochs == 150:
         return [start_epoch + 40, start_epoch + 80, start_epoch + 120]
     if epochs in _MILESTONE_TABLE:
         return _MILESTONE_TABLE[epochs]

@@ -105,8 +105,10 @@ def make_seg_train_step(
             masks=state.masks,
             step=state.step + 1,
         )
-        preds = jnp.argmax(logp, axis=-1)
-        return new_state, {"loss": loss, "preds": preds}
+        # NOTE: no preds in the metrics — a jit output cannot be DCE'd, and
+        # a full-resolution argmax every step is pure waste; evaluation
+        # computes predictions via make_eval_step.
+        return new_state, {"loss": loss}
 
     return train_step
 

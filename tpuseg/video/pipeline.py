@@ -234,9 +234,17 @@ class VideoSegmenter:
 
         total_t = sum(t for t, _ in batch_times)
         total_n = sum(n for _, n in batch_times)
+        ids_all = np.concatenate(ids_out) if ids_out else np.zeros((0,))
+        color_all = np.concatenate(color_out) if color_out else np.zeros((0,))
+        if max_frames is not None and len(ids_all) > max_frames:
+            # the last flush can overshoot the request; return exactly
+            # max_frames (the reference demos process exactly 25 frames)
+            ids_all = ids_all[:max_frames]
+            color_all = color_all[:max_frames]
+            total_n = max_frames
         return {
-            "ids": np.concatenate(ids_out) if ids_out else np.zeros((0,)),
-            "color": np.concatenate(color_out) if color_out else np.zeros((0,)),
+            "ids": ids_all,
+            "color": color_all,
             "frames": total_n,
             "seconds": total_t,
             "fps": total_n / total_t if total_t > 0 else 0.0,
