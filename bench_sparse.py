@@ -154,10 +154,90 @@ def bench_fused():
         }))
 
 
+def bench_model():
+    """End-to-end: dense vs block-sparse DRN-D-22 at 1024x2048."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.drnseg import drnseg_forward
+    from tpuseg.models.sparse_exec import build_sparse_plans
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import PolyphaseFrontend
+    from tpuseg.ops.upsample import upsample_argmax
+    from tpuseg.sparsity import apply_masks
+    from tpuseg.sparsity.base import hwio_to_oihw, oihw_to_hwio
+    from tpuseg.sparsity.block import BlockConfig, prune_as_block
+
+    H, W = 1024, 2048
+    INNER = 32
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    stem = PolyphaseFrontend(folded)
+
+    def run_model(p, plans):
+        def fn(frames):
+            x = frames.astype(jnp.bfloat16)
+            _, seg, _ = drnseg_forward(
+                p, {}, x, spec, train=False, compute_dtype=jnp.bfloat16,
+                upsample=False, stem_fn=stem, stem_stages=3,
+                sparse_plans=plans,
+            )
+            return upsample_argmax(seg, p["up.weight"]).astype(jnp.uint8)
+
+        @jax.jit
+        def loop(frames):
+            def body(fc, _):
+                ids = fn(fc)
+                return fc + ids[..., None].astype(fc.dtype), ids[0, 0, 0]
+            _, probes = jax.lax.scan(body, frames, None, length=INNER)
+            return probes.astype(jnp.int32).sum()
+
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, size=(1, H, W, 3)).astype(np.float32)
+        ) / 255.0
+        float(np.asarray(loop(x)))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(x)))
+            best = min(best, (time.perf_counter() - t0) / INNER)
+        return best
+
+    t_dense = run_model(jax.device_put(folded), None)
+    print(json.dumps({"metric": "model_dense_fps", "value": round(1 / t_dense, 2)}))
+
+    for sparsity in [0.875]:
+        masks = {}
+        for name, v in folded.items():
+            arr = np.asarray(v)
+            if arr.ndim != 4 or name == "up.weight":
+                continue
+            w = hwio_to_oihw(arr)
+            if w.shape[0] % 128 or w.shape[1] % 128:
+                continue
+            m = prune_as_block(
+                w, BlockConfig(sparsity, 128, 128, -1, -1, collapse_tensor=False)
+            )
+            masks[name] = oihw_to_hwio(m).astype(np.float32)
+        masked = apply_masks(folded, masks)
+        plans, report = build_sparse_plans(masked, masks, spec)
+        n_sparse = sum(1 for v in report.values() if v.startswith("sparse"))
+        t_sparse = run_model(jax.device_put(dict(masked)), plans)
+        print(json.dumps({
+            "metric": f"model_sparse_{int(sparsity*1000)/10}pct_fps",
+            "value": round(1 / t_sparse, 2),
+            "sparse_layers": n_sparse,
+            "speedup_vs_dense": round(t_dense / t_sparse, 3),
+        }))
+
+
 if __name__ == "__main__":
     import sys
 
-    if "--fused-only" not in sys.argv:
+    if "--fused-only" not in sys.argv and "--model" not in sys.argv:
         main()
-    if "--fused" in sys.argv or "--fused-only" in sys.argv or "--fused-appendix" in sys.argv:
+    if "--fused" in sys.argv or "--fused-only" in sys.argv:
         bench_fused()
+    if "--model" in sys.argv:
+        bench_model()

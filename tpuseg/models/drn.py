@@ -453,18 +453,28 @@ def batch_norm(
     return out.astype(x.dtype)
 
 
-def _conv_maybe_bn(x, params, state, updates, cdef, bdef, train, compute_dtype):
+def _conv_maybe_bn(
+    x, params, state, updates, cdef, bdef, train, compute_dtype, sparse_plans=None
+):
     """conv -> (folded bias | batch norm).  When the BN params are absent
     (inference-folded weights, tpuseg.ops.fold_bn), the conv carries a bias
-    instead and normalization is skipped entirely."""
-    x = conv2d(
-        x,
-        params[f"{cdef.name}.weight"],
-        cdef.stride,
-        cdef.dilation,
-        cdef.padding,
-        compute_dtype,
-    )
+    instead and normalization is skipped entirely.  A layer listed in
+    ``sparse_plans`` executes via the fused block-sparse Pallas kernel."""
+    if sparse_plans and cdef.name in sparse_plans:
+        from tpuseg.ops.sparse_conv import fused_sparse_conv_apply
+
+        x = fused_sparse_conv_apply(x, sparse_plans[cdef.name]).astype(
+            compute_dtype or x.dtype
+        )
+    else:
+        x = conv2d(
+            x,
+            params[f"{cdef.name}.weight"],
+            cdef.stride,
+            cdef.dilation,
+            cdef.padding,
+            compute_dtype,
+        )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     bias = params.get(f"{cdef.name}.bias")
@@ -476,24 +486,32 @@ def _conv_maybe_bn(x, params, state, updates, cdef, bdef, train, compute_dtype):
 
 
 def _run_conv_bn_relu(
-    x, params, state, updates, cdef: ConvDef, bdef: BNDef, train, compute_dtype
+    x, params, state, updates, cdef: ConvDef, bdef: BNDef, train, compute_dtype,
+    sparse_plans=None,
 ):
-    x = _conv_maybe_bn(x, params, state, updates, cdef, bdef, train, compute_dtype)
+    x = _conv_maybe_bn(
+        x, params, state, updates, cdef, bdef, train, compute_dtype, sparse_plans
+    )
     return jax.nn.relu(x)
 
 
-def _run_block(x, params, state, updates, block: BlockDef, train, compute_dtype):
+def _run_block(x, params, state, updates, block: BlockDef, train, compute_dtype,
+               sparse_plans=None):
     residual = x
     out = x
     n = len(block.convs)
     for i, (cdef, bdef) in enumerate(zip(block.convs, block.bns)):
-        out = _conv_maybe_bn(out, params, state, updates, cdef, bdef, train, compute_dtype)
+        out = _conv_maybe_bn(
+            out, params, state, updates, cdef, bdef, train, compute_dtype,
+            sparse_plans,
+        )
         if i < n - 1:
             out = jax.nn.relu(out)
     if block.downsample is not None:
         cdef, bdef = block.downsample
         residual = _conv_maybe_bn(
-            residual, params, state, updates, cdef, bdef, train, compute_dtype
+            residual, params, state, updates, cdef, bdef, train, compute_dtype,
+            sparse_plans,
         )
     # Bottleneck always adds the residual (drn.py:103); BasicBlock honors the
     # flag (drn.py:61-62) even when a downsample path exists.
@@ -514,6 +532,7 @@ def drn_forward(
     compute_dtype: Any = None,
     stem_fn: Callable | None = None,
     stem_stages: int = 1,
+    sparse_plans=None,
 ) -> tuple[jax.Array, list[jax.Array], State]:
     """Run the DRN backbone.
 
@@ -540,10 +559,16 @@ def drn_forward(
             continue
         if stage.kind == "convs":
             for cdef, bdef in stage.convs:
-                x = _run_conv_bn_relu(x, params, state, updates, cdef, bdef, train, compute_dtype)
+                x = _run_conv_bn_relu(
+                    x, params, state, updates, cdef, bdef, train, compute_dtype,
+                    sparse_plans,
+                )
         else:
             for block in stage.blocks:
-                x = _run_block(x, params, state, updates, block, train, compute_dtype)
+                x = _run_block(
+                    x, params, state, updates, block, train, compute_dtype,
+                    sparse_plans,
+                )
         if not stage_name.endswith("0") and stage_name != "stem":
             taps.append(x)
 

@@ -116,6 +116,7 @@ def drnseg_forward(
     upsample: bool = True,
     stem_fn=None,
     stem_stages: int = 1,
+    sparse_plans=None,
 ) -> tuple[jax.Array, jax.Array, State]:
     """Full DRNSeg forward.
 
@@ -127,7 +128,7 @@ def drnseg_forward(
     """
     feats, _, updates = drn_forward(
         params, state, x, spec, train=train, compute_dtype=compute_dtype,
-        stem_fn=stem_fn, stem_stages=stem_stages,
+        stem_fn=stem_fn, stem_stages=stem_stages, sparse_plans=sparse_plans,
     )
     seg = conv2d(feats, params["seg.weight"], compute_dtype=compute_dtype)
     seg = seg + params["seg.bias"].astype(seg.dtype)

@@ -1,0 +1,79 @@
+"""End-to-end sparse DRN inference: masks -> fused-kernel execution plans.
+
+Completes the compression story: a pruner config generates masks, and this
+module lowers every eligible masked conv to the fused block-sparse Pallas
+kernel, so high-sparsity models get real wall-clock speedups on the whole
+network (not simulated masking).
+
+Eligibility per conv (tpuseg.ops.sparse_conv constraints):
+- stride 1 (DRN's FLOP-dominant dilated stages 5-8 and all 1x1 downsamples
+  in those stages qualify; the stride-2 stage entries stay dense)
+- cin and cout multiples of 128 (MXU block grid)
+- coarsened block density below ``dense_threshold`` (fine-grained RBGP
+  blocklets coarsen to dense and stay on the XLA path)
+
+Use with BN-folded params (tpuseg.ops.fold_bn) for inference.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpuseg.models.drn import DrnSpec
+from tpuseg.ops.sparse_conv import plan_fused_sparse_conv
+
+
+def build_sparse_plans(
+    params: Mapping,
+    masks: Mapping,
+    spec: DrnSpec,
+    dense_threshold: float = 0.75,
+    dtype=jnp.bfloat16,
+    rows_per_tile: int = 8,
+) -> tuple[dict, dict]:
+    """Build ``{conv_name: FusedSparseConv}`` for every eligible masked conv.
+
+    Returns (plans, report) where report maps every masked conv to the
+    decision taken ('sparse d=..' / 'dense: <reason>').
+    """
+    convs = {}
+    for _, stage in spec.stages:
+        if stage.kind == "convs":
+            for cdef, _bn in stage.convs:
+                convs[cdef.name] = cdef
+        else:
+            for blk in stage.blocks:
+                for cdef in blk.convs:
+                    convs[cdef.name] = cdef
+                if blk.downsample is not None:
+                    convs[blk.downsample[0].name] = blk.downsample[0]
+
+    plans: dict = {}
+    report: dict = {}
+    for mask_name, mask in masks.items():
+        if not mask_name.endswith(".weight"):
+            continue
+        cname = mask_name[: -len(".weight")]
+        cdef = convs.get(cname)
+        if cdef is None:
+            continue
+        if cdef.stride != 1:
+            report[cname] = "dense: stride != 1"
+            continue
+        if cdef.cin % 128 or cdef.cout % 128:
+            report[cname] = f"dense: channels {cdef.cin}x{cdef.cout} not /128"
+            continue
+        w = np.asarray(params[mask_name], np.float32)
+        plan = plan_fused_sparse_conv(
+            w, np.asarray(mask, np.float32), dilation=cdef.dilation, dtype=dtype
+        )
+        if plan.block_density >= dense_threshold:
+            report[cname] = f"dense: union block density {plan.block_density:.2f}"
+            continue
+        plans[cname] = plan
+        report[cname] = f"sparse: union block density {plan.block_density:.2f}"
+    return plans, report
