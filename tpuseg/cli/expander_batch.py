@@ -126,7 +126,14 @@ def main(argv=None):
     p.add_argument("--launch", action="store_true",
                    help="run the commands (default: print them)")
     p.add_argument("--extra", default="", help="extra args appended verbatim")
+    p.add_argument("--collect", action="store_true",
+                   help="collect results from a finished sweep and exit")
     args = p.parse_args(argv)
+
+    if args.collect:
+        for row in collect_results(args.out_dir):
+            print(json.dumps(row))
+        return
 
     from tpuseg.models.factory import create_model, num_classes_for_dataset
 
@@ -180,6 +187,44 @@ def main(argv=None):
         print(cmd)
         if args.launch:
             subprocess.run(cmd, shell=True, check=True)
+
+
+
+def collect_results(out_dir: str) -> list[dict]:
+    """Sweep-result extraction (extract_accuracy / extract_spectral_gap,
+    expander_batch.py:156-162): read best metrics from each experiment's
+    checkpoint and the spectral gap of its masks."""
+    import numpy as np
+
+    from tpuseg.sparsity.base import hwio_to_oihw
+    from tpuseg.tools import calculate_spectral_gap
+    from tpuseg.train import load_checkpoint
+
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        ckpt = join(out_dir, name, "checkpoint_best.npz")
+        if not os.path.exists(ckpt):
+            ckpt = join(out_dir, name, "checkpoint.npz")
+        if not os.path.exists(ckpt):
+            continue
+        params, _, masks, _, meta = load_checkpoint(ckpt)
+        row = {"experiment": name, **{k: v for k, v in meta.items()}}
+        if masks:
+            gaps = []
+            for layer, m in masks.items():
+                m2 = hwio_to_oihw(np.asarray(m))
+                try:
+                    gaps.append(
+                        calculate_spectral_gap(m2)["normalized_gap"]
+                    )
+                except Exception:
+                    pass
+            if gaps:
+                row["mean_normalized_spectral_gap"] = round(
+                    float(np.mean(gaps)), 4
+                )
+        rows.append(row)
+    return rows
 
 
 if __name__ == "__main__":

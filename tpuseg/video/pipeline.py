@@ -180,8 +180,14 @@ class VideoSegmenter:
     ) -> dict:
         """Stream frames through the device program.
 
+        Host decode and device compute are pipelined one batch deep: a batch
+        is dispatched asynchronously and its results are fetched only when
+        the next batch has been decoded and dispatched — the device works
+        while cv2 decodes (the reference loop serialized these,
+        SURVEY.md §3.3).
+
         Returns dict with ids, colorized frames, per-batch times and fps.
-        ``fps`` counts only device compute+transfer (like the reference's
+        ``fps`` counts device compute+transfer (like the reference's
         ``_no_plot`` timing forks)."""
         it = iter(frames)
         ids_out, color_out = [], []
@@ -190,8 +196,9 @@ class VideoSegmenter:
         n_done = 0
         pending = []
         first = True
+        in_flight = None  # (device results, n_valid, t_submit)
 
-        def flush(buf):
+        def submit(buf):
             nonlocal first
             arr = np.stack(buf)
             pad = 0
@@ -204,33 +211,42 @@ class VideoSegmenter:
                 np.asarray(r[0])
                 first = False
             t0 = time.perf_counter()
-            ids, color, overlay = self._program(
-                self.params, self.bn_state, jnp.asarray(arr)
-            )
+            results = self._program(self.params, self.bn_state, jnp.asarray(arr))
+            return results, arr.shape[0] - pad, t0
+
+        def collect(flight):
+            (ids, color, overlay), n, t0 = flight
             ids = np.asarray(ids)  # forces completion (device->host)
             color = np.asarray(overlay if self.want_overlay else color)
             dt = time.perf_counter() - t0
-            n = arr.shape[0] - pad
-            return ids[:n], color[:n], dt
+            batch_times.append((dt, n))
+            ids_out.append(ids[:n])
+            color_out.append(color[:n])
+            fps_meter.tick()
+            return n
 
         for frame in it:
             pending.append(frame)
             if len(pending) == self.batch:
-                ids, color, dt = flush(pending)
-                batch_times.append((dt, len(ids)))
-                ids_out.append(ids)
-                color_out.append(color)
-                n_done += len(ids)
-                fps_meter.tick()
+                flight = submit(pending)
                 pending = []
-            if max_frames is not None and n_done >= max_frames:
+                if in_flight is not None:
+                    n_done += collect(in_flight)
+                in_flight = flight
+            if max_frames is not None and n_done + (
+                in_flight[1] if in_flight else 0
+            ) >= max_frames:
                 break
-        if pending and (max_frames is None or n_done < max_frames):
-            ids, color, dt = flush(pending)
-            batch_times.append((dt, len(ids)))
-            ids_out.append(ids)
-            color_out.append(color)
-            n_done += len(ids)
+        if pending and (
+            max_frames is None
+            or n_done + (in_flight[1] if in_flight else 0) < max_frames
+        ):
+            flight = submit(pending)
+            if in_flight is not None:
+                n_done += collect(in_flight)
+            in_flight = flight
+        if in_flight is not None:
+            n_done += collect(in_flight)
 
         total_t = sum(t for t, _ in batch_times)
         total_n = sum(n for _, n in batch_times)
