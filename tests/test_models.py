@@ -205,3 +205,30 @@ def test_export_state_dict_roundtrip():
         np.asarray(state["layer.1.1.running_var"]),
         rtol=1e-6,
     )
+
+
+@requires_reference
+@pytest.mark.parametrize("arch", ["drn_c_26"])
+def test_parity_with_torch_drn_c(arch):
+    """C-variant: top-level conv1/bn1 stem, BasicBlock layers 1-2, and
+    residual=False layers 7-8 (drn.py:121-130,152-158)."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    spec_ = importlib.util.spec_from_file_location("ref_drnc", "/root/reference/drn.py")
+    ref_drn = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(ref_drn)
+
+    torch.manual_seed(1)
+    model = ref_drn.__dict__[arch](pretrained=False, num_classes=10, pool_size=7)
+    model.eval()
+    params, state = convert_state_dict(model.state_dict())
+    spec = build_drn_spec(arch, num_classes=10, naming="cls", pool_size=7)
+
+    x = np.random.default_rng(5).normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = model(torch.from_numpy(x)).numpy()
+    out, _, _ = jax.jit(
+        lambda p, s, v: drn_forward(p, s, v, spec, train=False)
+    )(params, state, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-4)

@@ -270,6 +270,14 @@ def fused_sparse_conv_apply(
     S, bk, bm = plan.s, plan.bk, plan.bm
     R = rows_per_tile
     assert h % R == 0, (h, R)
+    # VMEM budget: slab (R+2p, wp, S*bk) + xmat (R*w, T*S*bk) + dot output.
+    # R=16 already exceeds the 16MB scoped limit at DRN layer-6 sizes
+    # (measured); keep tiles small.
+    est = (R * w_ * T * S * bk + (R + 2 * pad) * (w_ + 2 * pad) * S * bk) * 2
+    assert est < 12 * 2**20, (
+        f"fused sparse conv tile too large for VMEM (~{est/2**20:.1f} MB); "
+        f"reduce rows_per_tile (R={R})"
+    )
     # pad W so register slices stay in bounds, rounded up to the sublane
     # tiling (8) — Mosaic requires DMA slice shapes on the tiled W dim to be
     # 8-aligned
