@@ -196,3 +196,20 @@ def test_rejig_reinit():
     assert kept.std() == pytest.approx(np.sqrt(2.0 / n), rel=0.1)
     # untouched layers are identical
     np.testing.assert_array_equal(out["seg.weight"], params["seg.weight"])
+
+
+def test_bf16_train_step_traces_and_runs():
+    """Regression: bf16 compute once broke the conv VJP (mixed-dtype
+    transpose conv with preferred_element_type) — only surfaced when
+    training in bf16, which the TPU path always does."""
+    params, state, spec = init_drnseg(2, "drn_d_22", 19)
+    tx = make_sgd(0.01)
+    ts = create_train_state(params, state, tx)
+    step = jax.jit(make_seg_train_step(spec, tx, compute_dtype=jnp.bfloat16))
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, 19, size=(2, 32, 32)))
+    ts2, m = step(ts, images, labels)
+    assert np.isfinite(float(m["loss"]))
+    # params stay f32 master copies
+    assert ts2.params["seg.weight"].dtype == jnp.float32
