@@ -143,3 +143,14 @@ def test_cifar_reader_roundtrip(tmp_path):
     ds = ArrayClassDataset(xs, ys, (0.5,) * 3, (0.25,) * 3, train=True)
     x, y = ds[0]
     assert x.shape == (32, 32, 3)
+
+
+def test_prefetch_propagates_producer_errors():
+    def bad_iter():
+        yield (np.zeros((2, 2), np.float32),)
+        raise RuntimeError("corrupt sample")
+
+    it = prefetch_to_device(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        list(it)

@@ -62,3 +62,21 @@ def test_overlay_mode():
     seg = _segmenter(want_overlay=True)
     out = seg.run(SyntheticFrames(2, (32, 32)), warmup=False)
     assert out["color"].shape == (2, 32, 32, 3)
+
+
+def test_video_max_frames_exact():
+    seg = _segmenter()
+    out = seg.run(SyntheticFrames(10, (32, 32)), max_frames=5, warmup=False)
+    assert out["frames"] == 5
+    assert out["ids"].shape[0] == 5
+
+
+def test_video_pipelining_preserves_order():
+    seg = _segmenter()
+    frames = list(SyntheticFrames(12, (32, 32), seed=3))
+    out = seg.run(frames, warmup=False)
+    # re-run unbatched (batch boundary-insensitive reference)
+    seg1 = _segmenter()
+    seg1.batch = 12
+    ref = seg1.run(frames, warmup=False)
+    np.testing.assert_array_equal(out["ids"], ref["ids"])
