@@ -96,3 +96,37 @@ def test_fused_sparse_conv_matches_masked_dense(kernel, dilation):
     pad = dilation * (kernel - 1) // 2
     ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("kernel,dilation", [(3, 2), (1, 1)])
+def test_shared_fused_sparse_conv_matches(kernel, dilation):
+    from tpuseg.ops.sparse_conv import plan_shared_sparse_conv, shared_sparse_conv_apply
+
+    rng = np.random.default_rng(6)
+    cin = cout = 256
+    w = rng.normal(size=(kernel, kernel, cin, cout)).astype(np.float32)
+    coarse = np.array([[1, 0], [1, 1]], dtype=np.float32)
+    mask2d = np.kron(coarse, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (kernel, kernel, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cin)).astype(np.float32))
+    plan = plan_shared_sparse_conv(w, mask, dilation=dilation, dtype=jnp.float32)
+    assert plan.union_density == 1.0  # both K-blocks used by some column
+    y = shared_sparse_conv_apply(x, plan, rows_per_tile=4)
+    pad = dilation * (kernel - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_shared_plan_union_smaller_than_dense():
+    from tpuseg.ops.sparse_conv import plan_shared_sparse_conv
+
+    rng = np.random.default_rng(8)
+    w = rng.normal(size=(3, 3, 512, 512)).astype(np.float32)
+    # only K-blocks 0 and 2 used anywhere
+    mask = np.zeros((512, 512), np.float32)
+    mask[0:128] = 1
+    mask[256:384, 0:128] = 1
+    mask = np.broadcast_to(mask[None, None], (3, 3, 512, 512)).copy()
+    plan = plan_shared_sparse_conv(w, mask, dilation=2, dtype=jnp.float32)
+    assert plan.rows == (0, 2)
+    assert plan.union_density == 0.5

@@ -358,6 +358,165 @@ def fused_sparse_conv_apply(
     return y
 
 
+@dataclasses.dataclass
+class SharedFusedSparseConv:
+    """Packed operand for the shared-union fused kernel: ONE K-support for
+    the whole layer (union over taps AND output blocks) — gathered once per
+    spatial tile with static indices, all output blocks computed in-kernel."""
+
+    vals: jax.Array  # (nmb, T*S*bk, bm) on the global-union layout
+    rows: tuple      # (S,) static python ints — global union K-block ids
+    taps: np.ndarray
+    s: int
+    bk: int
+    bm: int
+    kernel: int
+    dilation: int
+    cin: int
+    cout: int
+    union_density: float
+
+
+def plan_shared_sparse_conv(
+    w_hwio: np.ndarray,
+    mask_hwio: np.ndarray,
+    dilation: int = 1,
+    dtype=jnp.bfloat16,
+    bk: int = 128,
+    bm: int = 128,
+) -> SharedFusedSparseConv:
+    kh, kw, cin, cout = w_hwio.shape
+    assert cin % bk == 0 and cout % bm == 0
+    wm = np.asarray(w_hwio, np.float32) * np.asarray(mask_hwio, np.float32)
+    nkb, nmb = cin // bk, cout // bm
+    T = kh * kw
+    nz = np.zeros((T, nkb, nmb), bool)
+    for t in range(T):
+        p, q = divmod(t, kw)
+        blocks = wm[p, q].reshape(nkb, bk, nmb, bm)
+        nz[t] = np.abs(blocks).sum(axis=(1, 3)) > 0
+    union = nz.any(axis=(0, 2))  # (nkb,) global union
+    rows = tuple(int(k) for k in np.flatnonzero(union)) or (0,)
+    S = len(rows)
+    vals = np.zeros((nmb, T, S, bk, bm), np.float32)
+    for j in range(nmb):
+        for t in range(T):
+            p, q = divmod(t, kw)
+            for s_i, k in enumerate(rows):
+                if nz[t, k, j]:
+                    vals[j, t, s_i] = wm[p, q][
+                        k * bk : (k + 1) * bk, j * bm : (j + 1) * bm
+                    ]
+    taps = np.array(
+        [(p * dilation, q * dilation) for p in range(kh) for q in range(kw)],
+        np.int32,
+    )
+    return SharedFusedSparseConv(
+        vals=jnp.asarray(vals.reshape(nmb, T * S * bk, bm), dtype),
+        rows=rows,
+        taps=taps,
+        s=S,
+        bk=bk,
+        bm=bm,
+        kernel=kh,
+        dilation=dilation,
+        cin=cin,
+        cout=cout,
+        union_density=S / nkb,
+    )
+
+
+def shared_sparse_conv_apply(
+    x: jax.Array, plan: SharedFusedSparseConv, rows_per_tile: int = 8,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Shared-union fused sparse conv: the support slab is gathered ONCE per
+    spatial tile (static offsets) and reused by every output-channel block,
+    trading FLOPs (compute at union density) for a ~nmb-fold DMA reduction
+    vs ``fused_sparse_conv_apply``."""
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    R = rows_per_tile
+    nmb = plan.cout // bm
+    assert h % R == 0, (h, R)
+    wp = -(-(w_ + 2 * pad) // 8) * 8
+    xp = jnp.pad(
+        x.astype(plan.vals.dtype),
+        ((0, 0), (pad, pad), (pad, wp - w_ - pad), (0, 0)),
+    )
+    taps_np = plan.taps
+    rows = plan.rows
+
+    def kernel_fn(vals_ref, xp_hbm, y_ref, xg, sem):
+        ij = pl.program_id(0)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+
+        for s_i, kblk in enumerate(rows):  # static offsets
+            cp = pltpu.make_async_copy(
+                xp_hbm.at[
+                    nb,
+                    pl.ds(hb * R, R + 2 * pad),
+                    pl.ds(0, wp),
+                    pl.ds(kblk * bk, bk),
+                ],
+                xg.at[:, :, pl.ds(s_i * bk, bk)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+        slab = xg[:]
+        parts = []
+        for t in range(T):
+            dy, dx = int(taps_np[t, 0]), int(taps_np[t, 1])
+            parts.append(
+                jax.lax.slice(
+                    slab, (dy, dx, 0), (dy + R, dx + w_, S * bk)
+                ).reshape(R * w_, S * bk)
+            )
+        xmat = jnp.concatenate(parts, axis=1)
+        for jb in range(nmb):
+            y = jax.lax.dot_general(
+                xmat,
+                vals_ref[jb],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y_ref[0, :, :, jb * bm : (jb + 1) * bm] = y.reshape(
+                R, w_, bm
+            ).astype(y_ref.dtype)
+
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # all out-blocks' weights
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, plan.cout), lambda ij: (ij // (h // R), ij % (h // R), 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2 * pad, wp, S * bk), plan.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * nmb * T * S * bk * bm,
+            bytes_accessed=int(plan.vals.size) * 2 + int(xp.size) * 2
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(plan.vals, xp)
+    return y
+
+
 def sparse_conv_apply(
     x: jax.Array, plan: SparseConvPlan, dilation: int = 1, bp: int = 512
 ) -> jax.Array:
