@@ -469,25 +469,24 @@ def shared_sparse_conv_apply(
             cp.start()
             cp.wait()
         slab = xg[:]
-        parts = []
-        for t in range(T):
-            dy, dx = int(taps_np[t, 0]), int(taps_np[t, 1])
-            parts.append(
-                jax.lax.slice(
-                    slab, (dy, dx, 0), (dy + R, dx + w_, S * bk)
-                ).reshape(R * w_, S * bk)
-            )
-        xmat = jnp.concatenate(parts, axis=1)
+        # Per-tap 3D dot accumulation: contracting the slab slice's channel
+        # dim directly avoids materializing the (R*w, T*S*bk) concat (which
+        # costs ~5 MB of VMEM shuffles per tile).
         for jb in range(nmb):
-            y = jax.lax.dot_general(
-                xmat,
-                vals_ref[jb],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            y_ref[0, :, :, jb * bm : (jb + 1) * bm] = y.reshape(
-                R, w_, bm
-            ).astype(y_ref.dtype)
+            acc = None
+            for t in range(T):
+                dy, dx = int(taps_np[t, 0]), int(taps_np[t, 1])
+                sl = jax.lax.slice(
+                    slab, (dy, dx, 0), (dy + R, dx + w_, S * bk)
+                )
+                y = jax.lax.dot_general(
+                    sl,
+                    vals_ref[jb, t * S * bk : (t + 1) * S * bk, :],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = y if acc is None else acc + y
+            y_ref[0, :, :, jb * bm : (jb + 1) * bm] = acc.astype(y_ref.dtype)
 
     y = pl.pallas_call(
         kernel_fn,
