@@ -95,12 +95,14 @@ def upsample_argmax_pallas(seg: jax.Array, up_kernel: jax.Array) -> jax.Array:
     running (max, argmax).
 
     VMEM budget for a (128, 256, 19) input: running max (64, h, w) f32 8 MB
-    + ids 2 MB + input ~1.3 MB.  One grid step per batch element.
+    + int8 ids 2 MB + input ~1.3 MB.  One grid step per batch element.
 
-    EXPERIMENTAL: correct (exactly matches ``upsample_argmax``,
-    tests/test_ops.py) but the fully-unrolled classes x phases body compiles
-    extremely slowly in Mosaic at production sizes — the XLA phase version
-    is the production default (tpuseg.video uses it).
+    Measured on v5e at the production shape: 0.77 ms vs the XLA phase
+    version's 0.66 ms — XLA's fusion already keeps the full-res logits out
+    of HBM here, so the XLA path stays the production default
+    (tpuseg.video uses it); this kernel documents the Pallas formulation
+    and computes the interpolation in f32 (slightly more accurate argmax
+    on near-ties).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -112,61 +114,63 @@ def upsample_argmax_pallas(seg: jax.Array, up_kernel: jax.Array) -> jax.Array:
     b = k1[k0 + STRIDE].astype(jnp.float32)
 
     def kernel(a_ref, b_ref, seg_ref, out_ref, vmax, vids):
-        # seg_ref block: (1, h+2, w+2, c) zero-padded input
-        x_all = seg_ref[0].astype(jnp.float32)  # (h+2, w+2, c)
+        # seg_ref block: (1, c, h+2, w+2) zero-padded, channels-leading so
+        # the class loop can slice the (untiled) channel dim dynamically —
+        # this keeps the kernel body compiled ONCE (a fully unrolled
+        # classes x phases body made Mosaic compile for tens of minutes).
+        # Phase values are computed and compared one (r, cph) pair at a time
+        # so temporaries stay (h, w)-sized (a full phase-major f32 temp is
+        # 8 MB and blows the VMEM budget together with the running max).
 
-        def upsample_1ch(x):  # (h+2, w+2) -> (8, 8, h, w)
-            # output row 8m+r combines xp[m+d], xp[m+d+1] with d = (r >= 4)
-            rows = []
+        def body(ch, _):
+            x = seg_ref[0, ch].astype(jnp.float32)  # (h+2, w+2)
+            is_first = ch == 0
             for r in range(STRIDE):
                 d = 0 if r < 4 else 1
                 yr = a_ref[r] * x[d : d + h, :] + b_ref[r] * x[d + 1 : d + 1 + h, :]
-                rows.append(yr)  # (h, w+2)
-            yrs = jnp.stack(rows)  # (8, h, w+2)
-            cols = []
-            for cph in range(STRIDE):
-                d = 0 if cph < 4 else 1
-                yc = (
-                    a_ref[cph] * yrs[:, :, d : d + w]
-                    + b_ref[cph] * yrs[:, :, d + 1 : d + 1 + w]
-                )
-                cols.append(yc)  # (8, h, w)
-            return jnp.stack(cols, axis=1)  # (8, 8, h, w)
+                for cph in range(STRIDE):
+                    dc = 0 if cph < 4 else 1
+                    yc = (
+                        a_ref[cph] * yr[:, dc : dc + w]
+                        + b_ref[cph] * yr[:, dc + 1 : dc + 1 + w]
+                    )
+                    better = jnp.logical_or(is_first, yc > vmax[r, cph])
+                    vmax[r, cph] = jnp.where(better, yc, vmax[r, cph])
+                    vids[r, cph] = jnp.where(
+                        better, ch.astype(jnp.int8), vids[r, cph]
+                    )
+            return 0
 
-        first = upsample_1ch(x_all[:, :, 0])
-        vmax[:] = first
-        vids[:] = jnp.zeros_like(vids)
-        for ch in range(1, c):
-            val = upsample_1ch(x_all[:, :, ch])
-            mask = val > vmax[:]
-            vmax[:] = jnp.where(mask, val, vmax[:])
-            vids[:] = jnp.where(mask, jnp.int32(ch), vids[:])
+        jax.lax.fori_loop(0, c, body, 0)
         # emit phase-major (8r, 8c, h, w); the interleaving transpose to
         # (8h, 8w) is a Mosaic-unsupported relayout — done outside in XLA
         out_ref[0] = vids[:]
 
     segp = jnp.pad(seg, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    segp = jnp.transpose(segp, (0, 3, 1, 2))  # channels-leading
     out = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c, h + 2, w + 2), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, STRIDE, STRIDE, h, w), lambda i: (i, 0, 0, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((n, STRIDE, STRIDE, h, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, STRIDE, STRIDE, h, w), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((STRIDE, STRIDE, h, w), jnp.float32),
-            pltpu.VMEM((STRIDE, STRIDE, h, w), jnp.int32),
+            pltpu.VMEM((STRIDE, STRIDE, h, w), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(a, b, segp)
     # (n, 8r, 8c, h, w) -> (n, h, 8r, w, 8c) -> (n, 8h, 8w)
-    return jnp.transpose(out, (0, 3, 1, 4, 2)).reshape(
-        n, h * STRIDE, w * STRIDE
+    return (
+        jnp.transpose(out, (0, 3, 1, 4, 2))
+        .reshape(n, h * STRIDE, w * STRIDE)
+        .astype(jnp.int32)
     )
