@@ -266,3 +266,31 @@ class VideoSegmenter:
             "fps": total_n / total_t if total_t > 0 else 0.0,
             "batch_times": batch_times,
         }
+
+    def benchmark_device_fps(
+        self, size: tuple[int, int], inner: int = 32, reps: int = 3
+    ) -> float:
+        """Pure device throughput (frames/sec) at (H, W): on-device scan
+        with loop-carried dependencies, immune to per-dispatch overhead and
+        XLA hoisting (the bench.py methodology as a library API)."""
+        import jax
+
+        h, w = size
+
+        @jax.jit
+        def loop(frames):
+            def body(fc, _):
+                ids, _, _ = self._program(self.params, self.bn_state, fc)
+                return fc + ids[..., None], ids[0, 0, 0]
+
+            _, probes = jax.lax.scan(body, frames, None, length=inner)
+            return probes.astype(jnp.int32).sum()
+
+        frames = jnp.zeros((self.batch, h, w, 3), jnp.uint8)
+        float(np.asarray(loop(frames)))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(frames)))
+            best = min(best, (time.perf_counter() - t0) / inner)
+        return self.batch / best
