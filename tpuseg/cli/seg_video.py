@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--overlay", action="store_true",
                    help="blend prediction over the frame (seg_video overlay)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--device-fps", action="store_true",
+                   help="also report pure device throughput at --size "
+                        "(on-device loop, dispatch-overhead-immune)")
     p.add_argument("--mean", default="0.290,0.328,0.287")
     p.add_argument("--std", default="0.183,0.187,0.184")
     return p.parse_args(argv)
@@ -96,17 +99,16 @@ def main(argv=None):
         for i, img in enumerate(result["color"]):
             Image.fromarray(img).save(os.path.join(args.save_dir, f"pred_{i}.png"))
 
-    print(
-        json.dumps(
-            {
-                "frames": result["frames"],
-                "seconds": round(result["seconds"], 4),
-                "fps": round(result["fps"], 2),
-                "size": f"{h}x{w}",
-                "arch": args.arch,
-            }
-        )
-    )
+    line = {
+        "frames": result["frames"],
+        "seconds": round(result["seconds"], 4),
+        "fps": round(result["fps"], 2),
+        "size": f"{h}x{w}",
+        "arch": args.arch,
+    }
+    if args.device_fps:
+        line["device_fps"] = round(seg.benchmark_device_fps((h, w)), 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
