@@ -237,7 +237,8 @@ if __name__ == "__main__":
 
     if "--fused-only" not in sys.argv and "--model" not in sys.argv:
         main()
-    if "--fused" in sys.argv or "--fused-only" in sys.argv:
+    if ("--fused" in sys.argv or "--fused-only" in sys.argv
+            or "--fused-appendix" in sys.argv):
         bench_fused()
     if "--model" in sys.argv:
         bench_model()

@@ -208,7 +208,8 @@ def collect_results(out_dir: str) -> list[dict]:
         if not os.path.exists(ckpt):
             continue
         params, _, masks, _, meta = load_checkpoint(ckpt)
-        row = {"experiment": name, **{k: v for k, v in meta.items()}}
+        row = dict(meta)
+        row["experiment"] = name  # directory name wins over any meta key
         if masks:
             gaps = []
             for layer, m in masks.items():

@@ -463,9 +463,8 @@ def _conv_maybe_bn(
     if sparse_plans and cdef.name in sparse_plans:
         from tpuseg.ops.sparse_conv import fused_sparse_conv_apply
 
-        x = fused_sparse_conv_apply(x, sparse_plans[cdef.name]).astype(
-            compute_dtype or x.dtype
-        )
+        out_dtype = x.dtype if compute_dtype is None else compute_dtype
+        x = fused_sparse_conv_apply(x, sparse_plans[cdef.name]).astype(out_dtype)
     else:
         x = conv2d(
             x,

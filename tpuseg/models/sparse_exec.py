@@ -69,7 +69,8 @@ def build_sparse_plans(
             continue
         w = np.asarray(params[mask_name], np.float32)
         plan = plan_fused_sparse_conv(
-            w, np.asarray(mask, np.float32), dilation=cdef.dilation, dtype=dtype
+            w, np.asarray(mask, np.float32), dilation=cdef.dilation, dtype=dtype,
+            rows_per_tile=rows_per_tile,
         )
         if plan.block_density >= dense_threshold:
             report[cname] = f"dense: union block density {plan.block_density:.2f}"

@@ -189,6 +189,7 @@ class FusedSparseConv:
     cin: int
     cout: int
     block_density: float
+    rows_per_tile: int = 8
 
 
 def plan_fused_sparse_conv(
@@ -198,6 +199,7 @@ def plan_fused_sparse_conv(
     dtype=jnp.bfloat16,
     bk: int = 128,
     bm: int = 128,
+    rows_per_tile: int = 8,
 ) -> FusedSparseConv:
     """Pack a masked stride-1 conv for the fused kernel.
 
@@ -268,12 +270,14 @@ def fused_sparse_conv_apply(
     pad = dil * (k - 1) // 2
     T = k * k
     S, bk, bm = plan.s, plan.bk, plan.bm
-    R = rows_per_tile
+    R = plan.rows_per_tile if rows_per_tile is None else rows_per_tile
     assert h % R == 0, (h, R)
+    wp_est = -(-(w_ + 2 * pad) // 8) * 8
+    itemsize = jnp.dtype(plan.vals.dtype).itemsize
     # VMEM budget: slab (R+2p, wp, S*bk) + xmat (R*w, T*S*bk) + dot output.
     # R=16 already exceeds the 16MB scoped limit at DRN layer-6 sizes
     # (measured); keep tiles small.
-    est = (R * w_ * T * S * bk + (R + 2 * pad) * (w_ + 2 * pad) * S * bk) * 2
+    est = (R * w_ * T * S * bk + (R + 2 * pad) * wp_est * S * bk) * itemsize
     assert est < 12 * 2**20, (
         f"fused sparse conv tile too large for VMEM (~{est/2**20:.1f} MB); "
         f"reduce rows_per_tile (R={R})"
@@ -443,6 +447,16 @@ def shared_sparse_conv_apply(
     nmb = plan.cout // bm
     assert h % R == 0, (h, R)
     wp = -(-(w_ + 2 * pad) // 8) * 8
+    itemsize = jnp.dtype(plan.vals.dtype).itemsize
+    est = (
+        int(plan.vals.size) * itemsize          # all out-blocks' weights resident
+        + (R + 2 * pad) * wp * S * bk * itemsize  # halo slab
+        + R * w_ * plan.cout * 4                  # f32 output block
+    )
+    assert est < 13 * 2**20, (
+        f"shared sparse conv footprint too large for VMEM (~{est/2**20:.1f} MB); "
+        f"reduce rows_per_tile (R={R}) or use fused_sparse_conv_apply"
+    )
     xp = jnp.pad(
         x.astype(plan.vals.dtype),
         ((0, 0), (pad, pad), (pad, wp - w_ - pad), (0, 0)),

@@ -108,6 +108,8 @@ def upsample_argmax_pallas(seg: jax.Array, up_kernel: jax.Array) -> jax.Array:
     from jax.experimental.pallas import tpu as pltpu
 
     n, h, w, c = seg.shape
+    # ids are tracked as int8 in VMEM to fit the budget
+    assert c <= 127, f"upsample_argmax_pallas supports <= 127 classes, got {c}"
     k1 = _kernel_1d(up_kernel)
     k0 = (11 - jnp.arange(STRIDE)) % STRIDE
     a = k1[k0].astype(jnp.float32)

@@ -187,8 +187,10 @@ class VideoSegmenter:
         SURVEY.md §3.3).
 
         Returns dict with ids, colorized frames, per-batch times and fps.
-        ``fps`` counts device compute+transfer (like the reference's
-        ``_no_plot`` timing forks)."""
+        ``fps`` is end-to-end wall-clock throughput of the pipelined loop
+        (decode + compute overlapped); ``batch_times`` intervals overlap
+        under pipelining and are diagnostic only.  For pure device rate use
+        ``benchmark_device_fps``."""
         it = iter(frames)
         ids_out, color_out = [], []
         batch_times = []
@@ -197,9 +199,10 @@ class VideoSegmenter:
         pending = []
         first = True
         in_flight = None  # (device results, n_valid, t_submit)
+        t_wall0 = None
 
         def submit(buf):
-            nonlocal first
+            nonlocal first, t_wall0
             arr = np.stack(buf)
             pad = 0
             if arr.shape[0] < self.batch:
@@ -211,6 +214,8 @@ class VideoSegmenter:
                 np.asarray(r[0])
                 first = False
             t0 = time.perf_counter()
+            if t_wall0 is None:
+                t_wall0 = t0
             results = self._program(self.params, self.bn_state, jnp.asarray(arr))
             return results, arr.shape[0] - pad, t0
 
@@ -248,7 +253,10 @@ class VideoSegmenter:
         if in_flight is not None:
             n_done += collect(in_flight)
 
-        total_t = sum(t for t, _ in batch_times)
+        # wall clock from first submit to last collect: with one-deep
+        # pipelining the per-batch intervals overlap, so summing them would
+        # under-report fps by up to 2x
+        total_t = (time.perf_counter() - t_wall0) if t_wall0 is not None else 0.0
         total_n = sum(n for _, n in batch_times)
         ids_all = np.concatenate(ids_out) if ids_out else np.zeros((0,))
         color_all = np.concatenate(color_out) if color_out else np.zeros((0,))
