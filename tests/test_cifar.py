@@ -53,6 +53,7 @@ def test_forward_shapes(arch):
     assert len(upd) == 2 * sum(1 for k in state if k.endswith("running_mean"))
 
 
+@pytest.mark.slow
 def test_all_archs_build():
     for arch in CIFAR_ARCHS:
         if arch in ("cifar_resnet1202", "cifar_resnet1001",
@@ -80,6 +81,7 @@ def _parity(torch_model, arch, atol=2e-4):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=atol)
 
 
+@pytest.mark.slow
 @requires_reference
 @pytest.mark.parametrize("arch", ["cifar_resnet20", "cifar_resnet164"])
 def test_parity_cresnet(arch):
@@ -92,6 +94,7 @@ def test_parity_cresnet(arch):
 @requires_reference
 @pytest.mark.parametrize("arch", ["cifar_resnet18", "cifar_resnet50",
                                   "cifar_resnext50_32x4d", "cifar_wide_resnet50_2"])
+@pytest.mark.slow
 def test_parity_tvresnet(arch):
     torch = pytest.importorskip("torch")
     mod = _load_ref("resnet_cifar")

@@ -34,6 +34,7 @@ def mini_cityscapes(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_train_and_test_on_files(mini_cityscapes, tmp_path):
     save = str(tmp_path / "run")
     seg_main([
@@ -50,6 +51,7 @@ def test_train_and_test_on_files(mini_cityscapes, tmp_path):
     ])
 
 
+@pytest.mark.slow
 def test_multiscale_test_and_savevis(mini_cityscapes, tmp_path, capsys):
     save = str(tmp_path / "ms")
     seg_main([

@@ -42,6 +42,7 @@ def test_drn_d_22_spec_names():
     assert spec.out_dim == 512
 
 
+@pytest.mark.slow
 def test_drn_d_54_spec_names():
     spec = build_drn_spec("drn_d_54", naming="seg")
     params, _ = init_drn(jax.random.key(0), spec)
@@ -87,6 +88,7 @@ def test_upsample8_matches_interpolation_structure():
     np.testing.assert_allclose(interior, 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 @requires_reference
 @pytest.mark.parametrize("arch", ["drn_d_22", "drn_d_54"])
 def test_parity_with_torch_backbone(arch):
@@ -228,6 +230,40 @@ def test_parity_with_torch_drn_c(arch):
     x = np.random.default_rng(5).normal(size=(1, 3, 56, 56)).astype(np.float32)
     with torch.no_grad():
         ref_out = model(torch.from_numpy(x)).numpy()
+    out, _, _ = jax.jit(
+        lambda p, s, v: drn_forward(p, s, v, spec, train=False)
+    )(params, state, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-4)
+
+
+@requires_reference
+@pytest.mark.slow
+def test_parity_with_torch_drn_a_50():
+    """Random-weight forward parity of DRN_A (maxpool stem, dilated layer3/4,
+    Linear head — /root/reference/drn.py:262-330, drn_a_50 at :333-337)."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    spec_ = importlib.util.spec_from_file_location(
+        "ref_drn_a", "/root/reference/drn.py"
+    )
+    ref_drn = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(ref_drn)
+
+    torch.manual_seed(0)
+    model = ref_drn.drn_a_50(pretrained=False, num_classes=1000)
+    # the reference hardcodes AvgPool2d(28) for 224x224 inputs; shrink both
+    # sides identically so the test runs on 112x112
+    model.avgpool = torch.nn.AvgPool2d(14, stride=1)
+    model.eval()
+
+    params, state = convert_state_dict(model.state_dict())
+    spec = build_drn_spec("drn_a_50", num_classes=1000, naming="cls", pool_size=14)
+
+    x = np.random.default_rng(1).normal(size=(1, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = model(torch.from_numpy(x)).numpy()
+
     out, _, _ = jax.jit(
         lambda p, s, v: drn_forward(p, s, v, spec, train=False)
     )(params, state, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))

@@ -2,6 +2,7 @@
 truth, fused argmax correctness."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,7 @@ def test_upsample_argmax_jits():
     assert ids.dtype == jnp.int32
 
 
+@pytest.mark.slow
 def test_upsample_argmax_pallas_matches(monkeypatch):
     import tpuseg.ops.upsample as up_mod
     from jax.experimental import pallas as pl

@@ -21,6 +21,7 @@ def test_mesh_shapes():
     assert mesh2.shape == {"data": 4, "spatial": 2}
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
     tx = make_sgd(0.01, weight_decay=0.0)
@@ -57,6 +58,7 @@ def test_data_parallel_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_spatial_sharded_forward_matches():
     """H-sharded inference (for >HBM activations) is numerically identical;
     XLA SPMD handles the conv halo exchanges."""
@@ -83,6 +85,7 @@ def test_batch_stays_sharded_through_metrics():
     assert x.sharding.spec == jax.sharding.PartitionSpec("data")
 
 
+@pytest.mark.slow
 def test_2d_mesh_train_step():
     """data x spatial 2-D mesh: batch sharded over 'data', H over 'spatial'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -116,6 +119,7 @@ def test_2d_mesh_train_step():
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import sys
 

@@ -40,6 +40,7 @@ def _coarse_masks(params, layers, sparsity):
     return masks
 
 
+@pytest.mark.slow
 def test_sparse_model_forward_matches_masked_dense():
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
     folded = fold_bn(params, state, spec)

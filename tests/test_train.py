@@ -103,6 +103,7 @@ def test_multistep_schedule():
     assert milestones_for_epochs(250, start_epoch=100) == [50, 100, 150, 200]
 
 
+@pytest.mark.slow
 def test_seg_train_step_masked():
     """One jitted step: loss finite, masked weights stay zero, up.weight frozen."""
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
@@ -136,6 +137,7 @@ def test_seg_train_step_masked():
     )
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     params, state, spec = init_drnseg(1, "drn_d_22", 19)
     tx = make_sgd(0.005, weight_decay=0.0)
@@ -151,6 +153,7 @@ def test_loss_decreases_over_steps():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
     masks = magnitude_unstructured_masks(params, 0.5, layers=["layer.7.0.weight"])
@@ -198,6 +201,7 @@ def test_rejig_reinit():
     np.testing.assert_array_equal(out["seg.weight"], params["seg.weight"])
 
 
+@pytest.mark.slow
 def test_bf16_train_step_traces_and_runs():
     """Regression: bf16 compute once broke the conv VJP (mixed-dtype
     transpose conv with preferred_element_type) — only surfaced when

@@ -171,6 +171,7 @@ def cmd_train(args):
         make_sgd,
         milestones_for_epochs,
         multistep_schedule,
+        poly_schedule,
         save_checkpoint,
         sparsity_aware_reinit,
     )
@@ -182,6 +183,12 @@ def cmd_train(args):
         print("mask sparsity:", json.dumps(
             {k: round(v, 2) for k, v in mask_sparsity_stats(masks).items()}
         ))
+    if masks is not None and args.unstructured_sparsity > 0:
+        # global-sparsity report during unstructured training
+        # (ref semseg_unstructured.py:780-787)
+        from tpuseg.cli.semseg_unstructured import report_global_sparsity
+
+        report_global_sparsity(params, masks)
     if args.rejig and masks is not None and args.pr_static:
         params = sparsity_aware_reinit(
             params, masks, np.random.default_rng(args.seed)
@@ -202,8 +209,11 @@ def cmd_train(args):
             masks = m
         start_epoch = int(meta_resume.get("epoch", 0))
 
-    milestones = milestones_for_epochs(args.epochs, start_epoch)
-    sched = multistep_schedule(args.lr, milestones, 0.1, steps_per_epoch)
+    if args.lr_mode == "poly":
+        sched = poly_schedule(args.lr, args.epochs * steps_per_epoch)
+    else:
+        milestones = milestones_for_epochs(args.epochs, start_epoch)
+        sched = multistep_schedule(args.lr, milestones, 0.1, steps_per_epoch)
     tx = make_sgd(sched, args.momentum, args.weight_decay)
     ts = create_train_state(params, state, tx, masks)
     if args.resume:
@@ -221,7 +231,18 @@ def cmd_train(args):
     eval_fn = jax.jit(make_eval_step(spec, "seg", compute_dtype=compute_dtype))
 
     os.makedirs(args.save_dir, exist_ok=True)
-    metrics_log = open(join(args.save_dir, "metrics.jsonl"), "a")
+    # persistent run logging: JSONL + TensorBoard event files with a
+    # hyperparameter-carrying run record (ref semantic_seg.py:1010-1024)
+    from tpuseg.metrics.runlog import RunLogger
+
+    runlog = RunLogger(
+        args.save_dir, run_name="",
+        hparams={"arch": args.arch, "lr": args.lr, "lr_mode": args.lr_mode,
+                 "batch_size": args.batch_size, "epochs": args.epochs,
+                 "crop_size": args.crop_size,
+                 "pr_config": args.pr_config_path or "",
+                 "unstructured": args.unstructured_sparsity},
+    )
     best_miou = float(meta_resume.get("best_miou", 0.0))
 
     for epoch in range(start_epoch, args.epochs):
@@ -254,6 +275,13 @@ def cmd_train(args):
                 )
             miou = miou_from_hist(hist)
             line["val_miou"] = round(miou, 3)
+            # reference baseline's independent pixel-accuracy report
+            # (semseg_baseline.py:120-131); derived from the same hist
+            total = hist.sum()
+            if total:
+                line["val_pixel_acc"] = round(
+                    float(np.diag(hist).sum() / total) * 100, 2
+                )
             is_best = miou > best_miou
             best_miou = max(best_miou, miou)
             save_checkpoint(
@@ -277,9 +305,8 @@ def cmd_train(args):
                 float(np.mean(list(weight_sparsity.values()))), 2
             )
         print(json.dumps(line))
-        metrics_log.write(json.dumps(line) + "\n")
-        metrics_log.flush()
-    metrics_log.close()
+        runlog.log(epoch, line)
+    runlog.close()
     return best_miou
 
 

@@ -44,6 +44,9 @@ BN_MOMENTUM = 0.1
 # arch name -> (block kind, per-stage block counts)
 # cf. /root/reference/drn.py:333-414
 DRN_ARCHS: dict[str, tuple[str, list[int], str]] = {
+    # DRN_A: ResNet-style stem (7x7 s2 + maxpool) with dilated layer3/4 and a
+    # Linear head (/root/reference/drn.py:262-330, drn_a_50 at :333-337)
+    "drn_a_50": ("bottleneck", [3, 4, 6, 3], "A"),
     "drn_c_26": ("basic", [1, 1, 2, 2, 2, 2, 1, 1], "C"),
     "drn_c_42": ("basic", [1, 1, 3, 4, 6, 3, 1, 1], "C"),
     "drn_c_58": ("bottleneck", [1, 1, 3, 4, 6, 3, 1, 1], "C"),
@@ -107,12 +110,16 @@ class StageDef:
 @dataclasses.dataclass(frozen=True)
 class DrnSpec:
     arch: str
-    variant: str  # "C" | "D"
+    variant: str  # "A" | "C" | "D"
     stages: tuple[tuple[str, StageDef], ...]  # (stage key prefix, stage)
     out_dim: int
     num_classes: int
     pool_size: int
     fc_name: str | None
+    # DRN_A: 3x3/s2 maxpool after the stem, stride-1 avgpool, Linear head
+    # (drn.py:272,280-281)
+    stem_maxpool: bool = False
+    linear_fc: bool = False
 
 
 def _make_blocks_stage(
@@ -125,21 +132,26 @@ def _make_blocks_stage(
     dilation: int,
     new_level: bool,
     residual: bool,
+    a_style: bool = False,
 ) -> tuple[StageDef, int]:
     """Residual-block stage builder.
 
     Mirrors the semantics of the reference ``DRN._make_layer``
     (/root/reference/drn.py:177-199): first block takes the stride and a
     possibly-halved first dilation, and a 1x1-conv downsample path appears
-    when the shape changes.
+    when the shape changes.  ``a_style`` follows ``DRN_A._make_layer``
+    (drn.py:297-314) instead: the first block always runs at dilation 1.
     """
     assert dilation == 1 or dilation % 2 == 0
     expansion = EXPANSION[kind]
-    first_dil = (
-        (1, 1)
-        if dilation == 1
-        else ((dilation // 2 if new_level else dilation), dilation)
-    )
+    if a_style:
+        first_dil = (1, 1)
+    else:
+        first_dil = (
+            (1, 1)
+            if dilation == 1
+            else ((dilation // 2 if new_level else dilation), dilation)
+        )
     blocks = []
     for b in range(n_blocks):
         dil = first_dil if b == 0 else (dilation, dilation)
@@ -230,6 +242,36 @@ def build_drn_spec(
 
     stages: list[tuple[str, StageDef]] = []
     inplanes = channels[0]
+
+    if variant == "A":
+        # DRN_A (drn.py:262-330): 7x7/s2 stem + maxpool, four ResNet layers
+        # with dilation 1/1/2/4, stride-1 avgpool, Linear head.
+        if naming == "seg":
+            raise ValueError("DRN-A variants are classification-only")
+        inplanes = 64
+        stem = StageDef(
+            "convs",
+            convs=((ConvDef("conv1", 3, 64, 7, 2, 1, 3), BNDef("bn1", 64)),),
+        )
+        stages.append(("stem", stem))
+        plan = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]
+        for i, (planes, stride, dil) in enumerate(plan, start=1):
+            st, inplanes = _make_blocks_stage(
+                stage_key(i), kind, inplanes, planes, layers[i - 1],
+                stride, dil, False, True, a_style=True,
+            )
+            stages.append((f"{prefix}{i}", st))
+        return DrnSpec(
+            arch=arch,
+            variant="A",
+            stages=tuple(stages),
+            out_dim=inplanes,
+            num_classes=num_classes,
+            pool_size=pool_size,
+            fc_name="fc" if num_classes > 0 else None,
+            stem_maxpool=True,
+            linear_fc=True,
+        )
 
     if variant == "C":
         # conv1/bn1 at top level (drn.py:121-130); C-arch is used for
@@ -375,9 +417,20 @@ def init_drn(key, spec: DrnSpec) -> tuple[Params, State]:
                 if block.downsample is not None:
                     _init_conv_bn(rng, *block.downsample, params, state)
     if spec.fc_name is not None:
-        # 1x1 conv classifier head (drn.py:167-168)
-        cdef = ConvDef(spec.fc_name, spec.out_dim, spec.num_classes, 1, bias=True)
-        _init_conv_bn(rng, cdef, None, params, state)
+        if spec.linear_fc:
+            # DRN_A Linear head (drn.py:280); torch-default uniform init,
+            # stored in torch (out, in) layout like the cifar zoo.
+            bound = 1.0 / math.sqrt(spec.out_dim)
+            params[f"{spec.fc_name}.weight"] = rng.uniform(
+                -bound, bound, size=(spec.num_classes, spec.out_dim)
+            ).astype(np.float32)
+            params[f"{spec.fc_name}.bias"] = rng.uniform(
+                -bound, bound, size=(spec.num_classes,)
+            ).astype(np.float32)
+        else:
+            # 1x1 conv classifier head (drn.py:167-168)
+            cdef = ConvDef(spec.fc_name, spec.out_dim, spec.num_classes, 1, bias=True)
+            _init_conv_bn(rng, cdef, None, params, state)
     return params, state
 
 
@@ -568,10 +621,31 @@ def drn_forward(
                     x, params, state, updates, block, train, compute_dtype,
                     sparse_plans,
                 )
+        if stage_name == "stem" and spec.stem_maxpool:
+            # DRN_A 3x3/s2/p1 maxpool after the stem (drn.py:272,318)
+            x = jax.lax.reduce_window(
+                x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
+                (1, 3, 3, 1), (1, 2, 2, 1),
+                [(0, 0), (1, 1), (1, 1), (0, 0)],
+            )
         if not stage_name.endswith("0") and stage_name != "stem":
             taps.append(x)
 
-    if spec.fc_name is not None:
+    if spec.fc_name is not None and spec.linear_fc:
+        # DRN_A head: stride-1 avgpool -> flatten -> Linear (drn.py:279-280,
+        # 325-328).  Weight is torch (out, in) layout.
+        p = spec.pool_size
+        x = jax.lax.reduce_window(
+            x.astype(jnp.float32), 0.0, jax.lax.add,
+            (1, p, p, 1), (1, 1, 1, 1), "VALID",
+        ) / float(p * p)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        x = x.reshape(x.shape[0], -1)
+        w = params[f"{spec.fc_name}.weight"]
+        b = params[f"{spec.fc_name}.bias"]
+        x = x @ w.astype(x.dtype).T + b.astype(x.dtype)
+    elif spec.fc_name is not None:
         w = params[f"{spec.fc_name}.weight"]
         b = params[f"{spec.fc_name}.bias"]
         if out_map:

@@ -4,10 +4,11 @@ Behavioral reference: /root/reference/semantic_seg.py:115-164 (``fill_up_weights
 and ``DRNSeg``).  The reference upsampler is a depthwise
 ``ConvTranspose2d(classes, classes, 16, stride=8, padding=4, groups=classes)``
 with frozen bilinear weights.  Here it is expressed as an input-dilated
-depthwise convolution (mathematically identical), which XLA lowers well; the
-production inference path additionally fuses upsample+argmax in a Pallas
-kernel (tpuseg.ops.upsample) so the full-resolution 19-channel logit tensor
-never round-trips HBM.
+depthwise convolution (mathematically identical), which XLA lowers well.  The
+production inference path uses the phase-decomposed XLA upsample+argmax
+(tpuseg.ops.upsample.upsample_argmax) — measured faster than the Pallas
+variant (0.66 vs 0.77 ms; see ops/upsample.py) — so the full-resolution
+19-channel logit tensor never round-trips HBM.
 
 Forward returns ``(log_softmax(upsample(seg_logits)), seg_logits)`` exactly
 like the reference (semantic_seg.py:154-158).

@@ -250,11 +250,12 @@ def plan_fused_sparse_conv(
         cin=cin,
         cout=cout,
         block_density=float(union.mean()),
+        rows_per_tile=rows_per_tile,
     )
 
 
 def fused_sparse_conv_apply(
-    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int = 8,
+    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int | None = None,
     out_dtype=jnp.float32,
 ) -> jax.Array:
     """Stride-1 'same' sparse conv.

@@ -7,6 +7,7 @@ from tpuseg.train.optim import (  # noqa: F401
     make_sgd,
     milestones_for_epochs,
     multistep_schedule,
+    poly_schedule,
 )
 from tpuseg.train.trainer import (  # noqa: F401
     TrainState,

@@ -12,6 +12,7 @@ gradient *before* the momentum buffer update, and the update is
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 
@@ -45,6 +46,21 @@ def multistep_schedule(
     """MultiStepLR in terms of optimizer steps."""
     boundaries = {m * steps_per_epoch: gamma for m in milestones}
     return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def poly_schedule(
+    base_lr: float, total_steps: int, power: float = 0.9
+) -> optax.Schedule:
+    """Polynomial decay ``lr * (1 - step/total)^power`` — the `--lr-mode poly`
+    recipe of the upstream DRN trainer (the reference parses the flag at
+    semantic_seg.py:696 but, like its upstream, defaults to step; we honor
+    both choices)."""
+
+    def sched(count):
+        frac = 1.0 - jnp.minimum(count, total_steps) / total_steps
+        return base_lr * frac ** power
+
+    return sched
 
 
 def step30_schedule(base_lr: float, steps_per_epoch: int) -> optax.Schedule:
