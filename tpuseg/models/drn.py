@@ -514,10 +514,17 @@ def _conv_maybe_bn(
     instead and normalization is skipped entirely.  A layer listed in
     ``sparse_plans`` executes via the fused block-sparse Pallas kernel."""
     if sparse_plans and cdef.name in sparse_plans:
+        from tpuseg.ops.rbgp_matmul import RbgpPlan, rbgp_conv_apply
         from tpuseg.ops.sparse_conv import fused_sparse_conv_apply
 
         out_dtype = x.dtype if compute_dtype is None else compute_dtype
-        x = fused_sparse_conv_apply(x, sparse_plans[cdef.name]).astype(out_dtype)
+        plan = sparse_plans[cdef.name]
+        if isinstance(plan, RbgpPlan):
+            x = rbgp_conv_apply(
+                x, plan, cdef.stride, cdef.dilation, cdef.padding
+            ).astype(out_dtype)
+        else:
+            x = fused_sparse_conv_apply(x, plan).astype(out_dtype)
     else:
         x = conv2d(
             x,

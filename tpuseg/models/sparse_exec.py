@@ -52,6 +52,8 @@ def build_sparse_plans(
                 if blk.downsample is not None:
                     convs[blk.downsample[0].name] = blk.downsample[0]
 
+    from tpuseg.ops.rbgp_matmul import plan_rbgp
+
     plans: dict = {}
     report: dict = {}
     for mask_name, mask in masks.items():
@@ -61,19 +63,34 @@ def build_sparse_plans(
         cdef = convs.get(cname)
         if cdef is None:
             continue
+        w = np.asarray(params[mask_name], np.float32)
+        mk = np.asarray(mask, np.float32)
+
+        # RBGP structured lowerings first: COLUMN/GROUP-style patterns admit
+        # dense-compacted execution at any stride (tpuseg.ops.rbgp_matmul)
+        rplan = plan_rbgp(w, mk, dtype=dtype)
+        if rplan.kind != "dense" and not (
+            rplan.kind == "tap_compact" and cdef.stride != 1
+        ):
+            plans[cname] = rplan
+            report[cname] = f"rbgp {rplan.kind}: {rplan.note}"
+            continue
+
         if cdef.stride != 1:
             report[cname] = "dense: stride != 1"
             continue
         if cdef.cin % 128 or cdef.cout % 128:
             report[cname] = f"dense: channels {cdef.cin}x{cdef.cout} not /128"
             continue
-        w = np.asarray(params[mask_name], np.float32)
         plan = plan_fused_sparse_conv(
-            w, np.asarray(mask, np.float32), dilation=cdef.dilation, dtype=dtype,
+            w, mk, dilation=cdef.dilation, dtype=dtype,
             rows_per_tile=rows_per_tile,
         )
         if plan.block_density >= dense_threshold:
-            report[cname] = f"dense: union block density {plan.block_density:.2f}"
+            report[cname] = (
+                f"dense: union block density {plan.block_density:.2f}"
+                + (f"; {rplan.note}" if "periodic" in rplan.note else "")
+            )
             continue
         plans[cname] = plan
         report[cname] = f"sparse: union block density {plan.block_density:.2f}"

@@ -1,4 +1,9 @@
-"""Build the native C++ sparsity library: ``python -m tpuseg.native_build``."""
+"""Build the native C++ libraries: ``python -m tpuseg.native_build``.
+
+- libtpuseg_sparsity.so: mask-generation / BSR-packing hot loops
+- libtpuseg_videodec.so: multi-threaded ffmpeg decode + resize ring buffer
+  (needs libav* dev headers; skipped with a warning when absent)
+"""
 
 from __future__ import annotations
 
@@ -21,5 +26,29 @@ def build(verbose: bool = True) -> str:
     return out
 
 
+def build_videodec(verbose: bool = True) -> str | None:
+    here = os.path.dirname(__file__)
+    src = os.path.join(here, "..", "native", "videodec.cpp")
+    out = os.path.join(here, "..", "native", "libtpuseg_videodec.so")
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-I/usr/include/opencv4",
+        "-o", out, src,
+        "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
+        "-lopencv_core", "-lopencv_imgproc",
+    ]
+    if verbose:
+        print(" ".join(cmd))
+    try:
+        subprocess.run(cmd, check=True)
+    except subprocess.CalledProcessError:
+        print("videodec build failed (missing libav dev packages?); "
+              "the Python cv2 decode path remains available", file=sys.stderr)
+        return None
+    return out
+
+
 if __name__ == "__main__":
-    sys.exit(0 if os.path.exists(build()) else 1)
+    ok = os.path.exists(build())
+    build_videodec()
+    sys.exit(0 if ok else 1)

@@ -9,8 +9,11 @@ The mask is ``OB ⊗ (CB ⊗ P) ⊗ IB`` where
 - ``IB``  (ibh x ibw*kernel) all-ones inner block
 
 With ``is_repetitive=True`` the same inner pattern repeats in every outer
-block — the property that turns the sparse conv into a gather-free grouped
-dense matmul on the MXU (see tpuseg.ops.rbgp_matmul).  This is a
+block, making the mask periodic.  ``tpuseg.ops.rbgp_matmul`` detects that
+structure and routes each layer to its best MXU lowering (COLUMN/GROUP
+patterns compact to dense/grouped convs with real FLOP savings; expander
+RAMANUJAN patterns are measured MXU-optimal on the dense path — see the
+rbgp_matmul module docstring for the v5e numbers).  This is a
 construction-only (static) masker.
 """
 
