@@ -1,12 +1,15 @@
 """Video pipeline tests (CPU): program correctness, fused vs naive path,
 polyphase frontend wiring, overlay shapes."""
 
+import os
+
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
 from tpuseg.models import init_drnseg
-from tpuseg.video import SyntheticFrames, VideoSegmenter
+from tpuseg.video import FrameSource, SyntheticFrames, VideoSegmenter
 
 
 def _segmenter(**kw):
@@ -80,3 +83,35 @@ def test_video_pipelining_preserves_order():
     seg1.batch = 12
     ref = seg1.run(frames, warmup=False)
     np.testing.assert_array_equal(out["ids"], ref["ids"])
+
+
+def test_native_decoder_matches_cv2():
+    """Native threaded decoder delivers the same frames (shape/dtype/order)
+    and near-identical pixels as the cv2 path."""
+    pytest.importorskip("cv2")
+    from tpuseg.video.native_source import NativeFrameSource, available
+
+    if not available():
+        pytest.skip("libtpuseg_videodec.so not built")
+    path = "/root/reference/sample.mp4"
+    if not os.path.exists(path):
+        pytest.skip("sample video not mounted")
+
+    native = []
+    for i, f in enumerate(NativeFrameSource(path, size=(128, 256))):
+        native.append(f)
+        if i >= 4:
+            break
+    cv2_frames = []
+    for i, f in enumerate(FrameSource(path, size=(128, 256), native=False)):
+        cv2_frames.append(f)
+        if i >= 4:
+            break
+    assert len(native) == len(cv2_frames) == 5
+    for a, b in zip(native, cv2_frames):
+        assert a.shape == b.shape == (128, 256, 3)
+        assert a.dtype == np.uint8
+        # decoders differ in yuv->rgb rounding and resize kernels; frames
+        # must still be near-identical
+        diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+        assert np.mean(diff) < 3.0, np.mean(diff)

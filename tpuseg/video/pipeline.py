@@ -33,15 +33,33 @@ from tpuseg.models.drnseg import drnseg_forward
 
 
 class FrameSource:
-    """Decode frames from a video file with cv2 (imageio fallback), resized
-    to (height, width) RGB uint8 (reference: FrameCapture decode loop,
-    seg_video.py:113-139)."""
+    """Decode frames from a video file, resized to (height, width) RGB uint8
+    (reference: FrameCapture decode loop, seg_video.py:113-139).
 
-    def __init__(self, path: str, size: tuple[int, int] | None = None):
+    Prefers the native threaded decoder (ffmpeg frame-threaded decode +
+    swscale/cv::resize worker pool + ring buffer, native/videodec.cpp) which
+    runs off the GIL so host decode never steals time from device dispatch;
+    falls back to cv2, then imageio."""
+
+    def __init__(self, path: str, size: tuple[int, int] | None = None,
+                 native: bool = True):
         self.path = path
         self.size = size  # (height, width)
+        self.native = native
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if self.native:
+            try:
+                from tpuseg.video.native_source import (
+                    NativeFrameSource,
+                    available,
+                )
+
+                if available():
+                    yield from NativeFrameSource(self.path, self.size)
+                    return
+            except (RuntimeError, FileNotFoundError):
+                pass  # fall back to cv2 below
         try:
             import cv2
 
