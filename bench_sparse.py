@@ -232,13 +232,86 @@ def bench_model():
         }))
 
 
+def bench_train():
+    """Masked TRAIN step: dense-masked (reference semantics) vs sparse
+    execution with custom VJPs (tpuseg.ops.sparse_train) at 87.5% block
+    sparsity on the layer-6-shaped conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models.drn import conv2d
+    from tpuseg.ops.sparse_train import plan_sparse_conv_train, sparse_conv_train
+    from tpuseg.sparsity.base import hwio_to_oihw, oihw_to_hwio
+    from tpuseg.sparsity.block import BlockConfig, prune_as_block
+
+    N, H, W, C = 1, 128, 256, 512
+    K, DIL = 3, 2
+    INNER = 30
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(K, K, C, C)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+
+    for sparsity in (0.875,):
+        m = prune_as_block(
+            hwio_to_oihw(w0),
+            BlockConfig(sparsity, 128, 128, -1, -1, collapse_tensor=False),
+        )
+        mask = oihw_to_hwio(m).astype(np.float32)
+        mj = jnp.asarray(mask)
+        st = plan_sparse_conv_train(mask, dilation=DIL, rows_per_tile=8)
+
+        def loss_dense(w_, x_):
+            y = conv2d(x_, (w_ * mj).astype(jnp.bfloat16), 1, DIL, DIL,
+                       compute_dtype=jnp.bfloat16)
+            return jnp.mean((y.astype(jnp.float32) - tgt) ** 2)
+
+        def loss_sparse(w_, x_):
+            y = sparse_conv_train(x_, w_, st, compute_dtype=jnp.bfloat16)
+            return jnp.mean((y.astype(jnp.float32) - tgt) ** 2)
+
+        def time_train(loss_fn):
+            grad_fn = jax.grad(loss_fn)
+
+            @jax.jit
+            def loop(w_):
+                def body(wc, _):
+                    g = grad_fn(wc, x)
+                    return wc - 1e-4 * g, g[0, 0, 0, 0]
+                w2, _ = jax.lax.scan(body, w_, None, length=INNER)
+                return w2
+            wj = jnp.asarray(w0)
+            o = loop(wj)
+            float(np.asarray(o).sum())
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = loop(wj)
+                float(np.asarray(o).sum())
+                best = min(best, (time.perf_counter() - t0) / INNER)
+            return best
+
+        t_dense = time_train(loss_dense)
+        t_sparse = time_train(loss_sparse)
+        print(json.dumps({
+            "metric": f"train_step_sparse_{int(sparsity*1000)/10}pct",
+            "dense_ms": round(t_dense * 1e3, 3),
+            "sparse_ms": round(t_sparse * 1e3, 3),
+            "speedup_vs_dense_masked": round(t_dense / t_sparse, 3),
+            "union_density": round(st.block_density, 4),
+        }))
+
+
 if __name__ == "__main__":
     import sys
 
-    if "--fused-only" not in sys.argv and "--model" not in sys.argv:
+    if ("--fused-only" not in sys.argv and "--model" not in sys.argv
+            and "--train" not in sys.argv):
         main()
     if ("--fused" in sys.argv or "--fused-only" in sys.argv
             or "--fused-appendix" in sys.argv):
         bench_fused()
     if "--model" in sys.argv:
         bench_model()
+    if "--train" in sys.argv:
+        bench_train()

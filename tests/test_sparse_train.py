@@ -1,0 +1,95 @@
+"""Sparse training: forward and gradient parity vs the dense-masked conv."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tpuseg.ops.sparse_conv as sc
+from tpuseg.models.drn import conv2d
+from tpuseg.ops.sparse_train import (
+    pack_vals,
+    plan_sparse_conv_train,
+    sparse_conv_train,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        sc.pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+
+
+def _mask(rng, kernel, cin, cout, density=0.25):
+    nz = (rng.random((cin // 128, cout // 128)) < density)
+    nz[0, 0] = True
+    m2 = np.kron(nz, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(m2, (kernel, kernel, cin, cout)).copy()
+    if kernel > 1:
+        # vary support per tap: drop some blocks at random taps so the
+        # per-tap structural zeroing (nzsel) is exercised
+        drop = rng.random((kernel, kernel, cin // 128, cout // 128)) < 0.3
+        mask *= np.kron(1.0 - drop, np.ones((128, 128))).astype(np.float32)
+    return mask.astype(np.float32)
+
+
+@pytest.mark.parametrize("kernel,dilation", [(3, 2), (1, 1)])
+def test_sparse_train_grads_match_dense_masked(kernel, dilation):
+    rng = np.random.default_rng(0)
+    cin = cout = 256
+    w = rng.normal(size=(kernel, kernel, cin, cout)).astype(np.float32)
+    mask = _mask(rng, kernel, cin, cout, density=0.5)
+    st = plan_sparse_conv_train(mask, dilation=dilation, rows_per_tile=4)
+    assert st.block_density <= 0.75
+
+    x = rng.normal(size=(2, 8, 16, cin)).astype(np.float32)
+    dy_seed = rng.normal(size=(2, 8, 16, cout)).astype(np.float32)
+    pad = dilation * (kernel - 1) // 2
+    mj = jnp.asarray(mask)
+
+    def loss_dense(w_, x_):
+        y = conv2d(x_, w_ * mj, stride=1, dilation=dilation, padding=pad)
+        return jnp.sum(y * dy_seed)
+
+    def loss_sparse(w_, x_):
+        y = sparse_conv_train(x_, w_, st, compute_dtype=jnp.float32)
+        return jnp.sum(y * dy_seed)
+
+    wj, xj = jnp.asarray(w), jnp.asarray(x)
+    yd = conv2d(xj, wj * mj, stride=1, dilation=dilation, padding=pad)
+    ys = sparse_conv_train(xj, wj, st, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yd),
+                               rtol=1e-3, atol=1e-3)
+
+    gd_w, gd_x = jax.grad(loss_dense, argnums=(0, 1))(wj, xj)
+    gs_w, gs_x = jax.grad(loss_sparse, argnums=(0, 1))(wj, xj)
+    # dense-masked wgrad is nonzero only on the mask support; sparse wgrad
+    # is zero off-support by construction
+    np.testing.assert_allclose(np.asarray(gs_x), np.asarray(gd_x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gs_w), np.asarray(gd_w * mj),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_pack_vals_roundtrip_gradient():
+    """Packing VJP scatters exactly onto the support."""
+    rng = np.random.default_rng(1)
+    mask = _mask(rng, 1, 128, 256, density=0.99)  # one block row
+    mask[..., :, 128:] = 0.0
+    st = plan_sparse_conv_train(mask)
+    w = jnp.asarray(rng.normal(size=(1, 1, 128, 256)).astype(np.float32))
+
+    def f(w_):
+        return jnp.sum(pack_vals(w_, st, dtype=jnp.float32) ** 2)
+
+    g = jax.grad(f)(w)
+    # off-support weight gradient must be exactly zero
+    assert float(jnp.abs(g * (1 - jnp.asarray(mask))).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2 * w * mask),
+                               rtol=1e-5, atol=1e-5)

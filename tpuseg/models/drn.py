@@ -516,10 +516,18 @@ def _conv_maybe_bn(
     if sparse_plans and cdef.name in sparse_plans:
         from tpuseg.ops.rbgp_matmul import RbgpPlan, rbgp_conv_apply
         from tpuseg.ops.sparse_conv import fused_sparse_conv_apply
+        from tpuseg.ops.sparse_train import SparseTrainStruct, sparse_conv_train
 
         out_dtype = x.dtype if compute_dtype is None else compute_dtype
         plan = sparse_plans[cdef.name]
-        if isinstance(plan, RbgpPlan):
+        if isinstance(plan, SparseTrainStruct):
+            # trainable sparse execution: packs the live weights each step,
+            # sparse dgrad/wgrad via custom VJP (tpuseg.ops.sparse_train)
+            x = sparse_conv_train(
+                x, params[f"{cdef.name}.weight"], plan,
+                compute_dtype=out_dtype if compute_dtype else jnp.float32,
+            ).astype(out_dtype)
+        elif isinstance(plan, RbgpPlan):
             x = rbgp_conv_apply(
                 x, plan, cdef.stride, cdef.dilation, cdef.padding
             ).astype(out_dtype)
