@@ -154,3 +154,63 @@ def test_prefetch_propagates_producer_errors():
     next(it)
     with pytest.raises(RuntimeError, match="corrupt sample"):
         list(it)
+
+
+def test_ade20k_recipe(tmp_path):
+    from PIL import Image
+
+    from tpuseg.data.cityscapes import SegList, load_info
+    from tpuseg.data.recipes import ade20k_remap_labels, prepare_ade20k_lists
+
+    root = tmp_path / "ade"
+    for split in ("training", "validation"):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "annotations" / split).mkdir(parents=True)
+        for i in range(3 if split == "training" else 2):
+            Image.fromarray(
+                np.zeros((16, 16, 3), np.uint8)).save(
+                root / "images" / split / f"ADE_{i:08d}.jpg")
+            ann = np.full((16, 16), i + 1, np.uint8)  # classes 1..150
+            Image.fromarray(ann).save(
+                root / "annotations" / split / f"ADE_{i:08d}.png")
+    counts = prepare_ade20k_lists(str(root))
+    assert counts == {"train": 3, "val": 2}
+    info = load_info(str(root))
+    assert len(info["mean"]) == 3
+    ds = SegList(str(root), "train", lambda im, lb: (np.asarray(im), lb))
+    assert len(ds) == 3
+    # remap: raw 1..150 -> 0..149; 0 -> 255
+    raw = np.array([[0, 1], [150, 7]], np.uint8)
+    out = ade20k_remap_labels(raw)
+    assert out.tolist() == [[255, 0], [149, 6]]
+
+
+def test_voc_recipe_and_palette(tmp_path):
+    from PIL import Image
+
+    from tpuseg.data.recipes import prepare_voc_lists, voc_palette
+
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    ids = ["2007_000001", "2007_000002"]
+    for i in ids:
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            root / "JPEGImages" / f"{i}.jpg")
+        Image.fromarray(np.zeros((8, 8), np.uint8)).save(
+            root / "SegmentationClass" / f"{i}.png")
+    (root / "ImageSets" / "Segmentation" / "train.txt").write_text(
+        "\n".join(ids) + "\n")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text(ids[0] + "\n")
+    counts = prepare_voc_lists(str(root))
+    assert counts == {"train": 2, "val": 1}
+    lines = (root / "train_images.txt").read_text().strip().split("\n")
+    assert len(lines) == 2 and lines[0].startswith("JPEGImages/")
+
+    pal = voc_palette()
+    # canonical anchors: background black, class1 maroon, class21/255 white-ish
+    assert pal[0].tolist() == [0, 0, 0]
+    assert pal[1].tolist() == [128, 0, 0]
+    assert pal[2].tolist() == [0, 128, 0]
+    assert pal[15].tolist() == [192, 128, 128]

@@ -59,6 +59,9 @@ def parse_args(argv=None):
                    help="sparsity-aware reinit for static masks")
     p.add_argument("--unstructured-sparsity", type=float, default=0.0,
                    help="semseg_unstructured-style L1 magnitude pruning")
+    p.add_argument("--random-unstructured", type=float, default=0.0,
+                   help="semseg_baseline-style random unstructured pruning "
+                        "(ref semseg_baseline.py:752)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--num-shards", type=int, default=1, help="hosts")
@@ -154,6 +157,12 @@ def make_masker(args, params):
         from tpuseg.train import magnitude_unstructured_masks
 
         masks = magnitude_unstructured_masks(params, args.unstructured_sparsity)
+    elif getattr(args, "random_unstructured", 0) > 0:
+        from tpuseg.train.unstructured import random_unstructured_masks
+
+        masks = random_unstructured_masks(
+            params, args.random_unstructured, np.random.default_rng(args.seed)
+        )
     return masker, masks
 
 
