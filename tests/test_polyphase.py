@@ -98,3 +98,50 @@ def test_polyphase_frontend_f_variants(f):
     )(folded, x)
     np.testing.assert_allclose(np.asarray(seg), np.asarray(ref_seg),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_space_to_depth_fast_path_exact():
+    """The word-bitcast fast path must be bit-exact vs the 6D transpose for
+    uint8/bfloat16 3-channel frames (the layouts the frame program feeds)."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops import polyphase as pp
+
+    rng = np.random.default_rng(0)
+
+    def reference(x, f):
+        n, h, w, c = x.shape
+        y = np.asarray(x).reshape(n, h // f, f, w // f, f, c)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
+
+    u8 = rng.integers(0, 255, size=(1, 16, 32, 3), dtype=np.uint8)
+    out = np.asarray(pp.space_to_depth(jnp.asarray(u8), 4))
+    np.testing.assert_array_equal(out, reference(u8, 4))
+
+    bf = jnp.asarray(rng.normal(size=(1, 16, 32, 3)).astype(np.float32), jnp.bfloat16)
+    out = np.asarray(pp.space_to_depth(bf, 4).astype(jnp.float32))
+    np.testing.assert_array_equal(out, reference(np.asarray(bf.astype(jnp.float32)), 4))
+
+
+def test_frontend_normalize_after_s2d_exact():
+    """normalize folded into the frontend == normalize-then-frontend."""
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import PolyphaseFrontend
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    mean = np.array([0.290, 0.328, 0.287], np.float32)
+    std = np.array([0.183, 0.187, 0.184], np.float32)
+
+    stem_a = PolyphaseFrontend(folded)
+    stem_b = PolyphaseFrontend(folded, normalize=(mean, std))
+
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 255, size=(1, 32, 64, 3), dtype=np.uint8)
+    xn = ((u8.astype(np.float32) / 255.0 - mean) / std).astype(np.float32)
+    ya = np.asarray(stem_a(jnp.asarray(xn, jnp.bfloat16)).astype(jnp.float32))
+    yb = np.asarray(stem_b(jnp.asarray(u8)).astype(jnp.float32))
+    np.testing.assert_array_equal(ya, yb)

@@ -614,7 +614,10 @@ def drn_forward(
     """
     updates: State = {}
     taps: list[jax.Array] = []
-    if compute_dtype is not None:
+    if compute_dtype is not None and stem_fn is None:
+        # a stem_fn owns its own input handling (e.g. the polyphase frontend
+        # space-to-depths RAW uint8 frames before any float math — casting
+        # here would force the slow 3-lane full-res path)
         x = x.astype(compute_dtype)
     for stage_index, (stage_name, stage) in enumerate(spec.stages):
         if stem_fn is not None and stage_index < stem_stages:

@@ -101,7 +101,28 @@ def fold_stem_weights(w7: np.ndarray, f: int = 4, pad: int = 3):
 
 
 def space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    """Exact (n, h, w, c) -> (n, h/f, w/f, f*f*c), channel order (dy, dx, c).
+
+    Fast path: the naive 6D transpose of a low-channel tensor is
+    catastrophically slow on TPU (measured 2.0 ms for a 1024x2048x3 uint8
+    frame — ~6 GB/s — because c=3 occupies 3 of 128 lanes).  When one
+    (dx, c)-cell is a whole number of 4-byte words, the W-interleave is
+    word-contiguous: bitcast rows to int32, transpose (h/f, f, w/f, words)
+    -> (h/f, w/f, f, words), bitcast back — measured 1.1 ms for the same
+    frame, bit-exact (tests/test_polyphase.py).
+    """
     n, h, w, c = x.shape
+    itemsize = x.dtype.itemsize
+    cell_bytes = f * c * itemsize
+    if cell_bytes % 4 == 0 and itemsize < 4:
+        words = cell_bytes // 4
+        group = 4 // itemsize  # elements per i32 word
+        xi = jax.lax.bitcast_convert_type(
+            x.reshape(n, h, (w * c) // group, group), jnp.int32)
+        xi = xi.reshape(n, h // f, f, w // f, words)
+        xi = xi.transpose(0, 1, 3, 2, 4).reshape(n, h // f, w // f, f * words)
+        out = jax.lax.bitcast_convert_type(xi, x.dtype)
+        return out.reshape(n, h // f, w // f, f * f * c)
     x = x.reshape(n, h // f, f, w // f, f, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
 
@@ -128,11 +149,25 @@ class PolyphaseFrontend:
     """
 
     def __init__(self, params, names=("layer.0.0", "layer.1.0", "layer.2.0"),
-                 f: int = 4, dtype=jnp.bfloat16):
+                 f: int = 4, dtype=jnp.bfloat16,
+                 normalize: tuple | None = None):
         # f trades kernel-padding overcompute (grows with f) against MXU lane
         # occupancy (64 channels at f=2 vs 256 at f=4).  Measured on v5e at
         # 1024x2048: f=4 85.6 fps vs f=2 68.6 fps — lanes win.
+        #
+        # ``normalize=(mean, std)`` moves `(x/255 - mean)/std` AFTER the
+        # space-to-depth: elementwise ops commute exactly with the
+        # permutation, and normalizing a 3-lane full-res tensor costs ~1 ms
+        # that the 48-lane quarter-res tensor does not (measured on v5e).
+        # The caller then feeds RAW uint8-valued frames.
         self.f = f
+        self.normalize = None
+        if normalize is not None:
+            mean, std = (np.asarray(v, np.float32) for v in normalize)
+            self.normalize = (
+                jnp.asarray(np.tile(mean, f * f)),
+                jnp.asarray(np.tile(1.0 / std, f * f)),
+            )
         specs = [  # (stride, pad, f_in, f_out)
             (1, 3, f, f),
             (1, 1, f, f),
@@ -151,7 +186,11 @@ class PolyphaseFrontend:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype = self.convs[0][0].dtype
-        x = space_to_depth(x.astype(dtype), self.f)
+        x = space_to_depth(x, self.f)
+        if self.normalize is not None:
+            mean48, inv_std48 = self.normalize
+            x = (x.astype(jnp.float32) / 255.0 - mean48) * inv_std48
+        x = x.astype(dtype)
         for wp, bias, plo, phi in self.convs:
             x = jax.lax.conv_general_dilated(
                 x, wp, (1, 1), [(plo, phi), (plo, phi)],
