@@ -40,7 +40,7 @@ def main():
     REPS = 3
 
     from tpuseg.ops.fold_bn import fold_bn
-    from tpuseg.ops.polyphase import PolyphaseFrontend
+    from tpuseg.ops.polyphase import FusedStage3Frontend
 
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
     folded = fold_bn(params, state, spec)
@@ -49,7 +49,9 @@ def main():
     # (exact rearrangement, tests/test_polyphase.py).  Normalization runs
     # AFTER the (word-level bitcast) space-to-depth — elementwise math on
     # the 3-lane full-res tensor measured ~2 ms of pure layout waste.
-    stem = PolyphaseFrontend(
+    # ...and stage 3's stride-2 entry consumes the frontend's f=2 phase
+    # tensor directly (the d2s/s2d round trip cancels; FusedStage3Frontend)
+    stem = FusedStage3Frontend(
         folded, normalize=([0.290, 0.328, 0.287], [0.183, 0.187, 0.184])
     )
     params = jax.device_put(folded)
@@ -59,7 +61,7 @@ def main():
         _, seg, _ = drnseg_forward(
             params, state, frames_u8, spec, train=False,
             compute_dtype=jnp.bfloat16, upsample=False, stem_fn=stem,
-            stem_stages=3,
+            stem_stages=4,
         )
         ids = upsample_argmax(seg, params["up.weight"])
         return ids.astype(jnp.uint8)

@@ -163,7 +163,7 @@ def bench_model():
     from tpuseg.models.drnseg import drnseg_forward
     from tpuseg.models.sparse_exec import build_sparse_plans
     from tpuseg.ops.fold_bn import fold_bn
-    from tpuseg.ops.polyphase import PolyphaseFrontend
+    from tpuseg.ops.polyphase import FusedStage3Frontend
     from tpuseg.ops.upsample import upsample_argmax
     from tpuseg.sparsity import apply_masks
     from tpuseg.sparsity.base import hwio_to_oihw, oihw_to_hwio
@@ -173,14 +173,17 @@ def bench_model():
     INNER = 32
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
     folded = fold_bn(params, state, spec)
-    stem = PolyphaseFrontend(folded)
+    # same frontend as bench.py's headline program (stage-3-fused polyphase;
+    # layers 0-3 are never sparse-eligible, so sharing it across dense and
+    # masked runs is exact)
+    stem = FusedStage3Frontend(folded)
 
     def run_model(p, plans):
         def fn(frames):
             x = frames.astype(jnp.bfloat16)
             _, seg, _ = drnseg_forward(
                 p, {}, x, spec, train=False, compute_dtype=jnp.bfloat16,
-                upsample=False, stem_fn=stem, stem_stages=3,
+                upsample=False, stem_fn=stem, stem_stages=4,
                 sparse_plans=plans,
             )
             return upsample_argmax(seg, p["up.weight"]).astype(jnp.uint8)

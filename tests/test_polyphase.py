@@ -145,3 +145,36 @@ def test_frontend_normalize_after_s2d_exact():
     ya = np.asarray(stem_a(jnp.asarray(xn, jnp.bfloat16)).astype(jnp.float32))
     yb = np.asarray(stem_b(jnp.asarray(u8)).astype(jnp.float32))
     np.testing.assert_array_equal(ya, yb)
+
+
+def test_fused_stage3_frontend_matches_direct():
+    """Frontend extended through stage 3 == polyphase frontend + stage 3 on
+    the direct path (BN-folded inference)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.drnseg import drnseg_forward
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import FusedStage3Frontend, PolyphaseFrontend
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    mean = [0.290, 0.328, 0.287]
+    std = [0.183, 0.187, 0.184]
+    import jax.numpy as _jnp
+    stem3 = PolyphaseFrontend(folded, normalize=(mean, std), dtype=_jnp.float32)
+    stem4 = FusedStage3Frontend(folded, normalize=(mean, std), dtype=_jnp.float32)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 64, 128, 3),
+                                      dtype=np.uint8))
+    f32 = jnp.float32
+    _, seg_a, _ = jax.jit(lambda f: drnseg_forward(
+        folded, {}, f, spec, train=False, compute_dtype=f32,
+        upsample=False, stem_fn=stem3, stem_stages=3))(frames)
+    _, seg_b, _ = jax.jit(lambda f: drnseg_forward(
+        folded, {}, f, spec, train=False, compute_dtype=f32,
+        upsample=False, stem_fn=stem4, stem_stages=4))(frames)
+    np.testing.assert_allclose(np.asarray(seg_a), np.asarray(seg_b),
+                               rtol=1e-4, atol=1e-4)

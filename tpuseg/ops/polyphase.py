@@ -202,6 +202,89 @@ class PolyphaseFrontend:
         return depth_to_space(x, self.out_f)
 
 
+class FusedStage3Frontend(PolyphaseFrontend):
+    """PolyphaseFrontend extended through stage 3 (inference, BN-folded).
+
+    The frontend's last conv emits the layer-2 output as an f=2 phase
+    tensor; instead of depth-to-space'ing it back to image coordinates and
+    immediately re-consuming it with stride 2, stage 3's entry convs are
+    phase-folded to read the phase tensor directly (fold_conv_poly with
+    f_in=2, f_out=1):
+
+    - b0.conv1 (3x3 s2 32->64)      -> 2x2 s1 conv, 128 -> 64
+    - b0.downsample (1x1 s2 32->64) -> 2x2 s1 conv (one live phase)
+
+    The stride-2 convs' MXU lane use quadruples and the d2s round trip
+    disappears; the rest of stage 3 (b0.conv2 + residual, block 1) runs in
+    image coordinates exactly as the reference computes it.  Use with
+    ``drnseg_forward(stem_stages=4)``.  Exactness vs the direct path is
+    tested in tests/test_polyphase.py.
+    """
+
+    def __init__(self, params, f: int = 4, dtype=jnp.bfloat16,
+                 normalize: tuple | None = None, stage3: str = "layer.3"):
+        super().__init__(params, f=f, dtype=dtype, normalize=normalize)
+        self.dtype = dtype
+
+        def conv_w(name):
+            return np.asarray(params[f"{name}.weight"], np.float32)
+
+        def conv_b(name):
+            return np.asarray(params[f"{name}.bias"], np.float32)
+
+        def fold(name, k_pad):
+            wp, plo, phi = fold_conv_poly(conv_w(name), 2, k_pad, 2, 1)
+            return (jnp.asarray(wp, dtype), jnp.asarray(conv_b(name), dtype),
+                    plo, phi)
+
+        assert f"{stage3}.2.conv1.weight" not in params, (
+            "FusedStage3Frontend folds a 2-block stage 3 (drn_d_22/24)")
+        self.b0_conv1 = fold(f"{stage3}.0.conv1", 1)
+        self.b0_ds = fold(f"{stage3}.0.downsample.0", 0)
+        self.image_convs = {
+            name: (jnp.asarray(conv_w(name), dtype),
+                   jnp.asarray(conv_b(name), dtype))
+            for name in (f"{stage3}.0.conv2", f"{stage3}.1.conv1",
+                         f"{stage3}.1.conv2")
+        }
+        self.stage3 = stage3
+
+    def _conv(self, x, name, pad=1):
+        w, b = self.image_convs[name]
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = self.dtype
+        x = space_to_depth(x, self.f)
+        if self.normalize is not None:
+            mean48, inv_std48 = self.normalize
+            x = (x.astype(jnp.float32) / 255.0 - mean48) * inv_std48
+        x = x.astype(dtype)
+        for wp, bias, plo, phi in self.convs:
+            x = jax.lax.conv_general_dilated(
+                x, wp, (1, 1), [(plo, phi), (plo, phi)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.relu(x + bias)
+        # x: layer-2 output on the f=2 phase grid; stage-3 block 0 entry
+        w1, b1, lo1, hi1 = self.b0_conv1
+        y1 = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, w1, (1, 1), [(lo1, hi1), (lo1, hi1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1)
+        wd, bd, lod, hid = self.b0_ds
+        yd = jax.lax.conv_general_dilated(
+            x, wd, (1, 1), [(lod, hid), (lod, hid)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bd
+        out = jax.nn.relu(self._conv(y1, f"{self.stage3}.0.conv2") + yd)
+        # block 1 (standard basic block, image domain)
+        r = out
+        out = jax.nn.relu(self._conv(out, f"{self.stage3}.1.conv1"))
+        out = jax.nn.relu(self._conv(out, f"{self.stage3}.1.conv2") + r)
+        return out
+
+
 class PolyphaseStem:
     """Precomputed polyphase replacement for a stride-1 KxK stem conv."""
 

@@ -132,13 +132,24 @@ class VideoSegmenter:
             params = fold_bn(params, bn_state, spec)
             bn_state = {}
             if spec.variant == "D":
-                from tpuseg.ops.polyphase import PolyphaseFrontend
-
-                stem_fn = PolyphaseFrontend(
-                    params,
-                    dtype=compute_dtype if compute_dtype is not None else jnp.float32,
+                from tpuseg.ops.polyphase import (
+                    FusedStage3Frontend,
+                    PolyphaseFrontend,
                 )
-                stem_stages = 3
+
+                stem_dtype = (compute_dtype if compute_dtype is not None
+                              else jnp.float32)
+                # the frontend owns normalization (runs after the fast
+                # space-to-depth) and, for 2-block stage-3 archs, the
+                # stage-3 entry convs (phase-folded stride-2)
+                try:
+                    stem_fn = FusedStage3Frontend(
+                        params, dtype=stem_dtype, normalize=(mean, std))
+                    stem_stages = 4
+                except (AssertionError, KeyError):
+                    stem_fn = PolyphaseFrontend(
+                        params, dtype=stem_dtype, normalize=(mean, std))
+                    stem_stages = 3
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
         self.spec = spec
@@ -149,13 +160,18 @@ class VideoSegmenter:
         palette_dev = jnp.asarray(palette)
 
         def program(params, bn_state, frames_u8):
-            x = frames_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
             use_stem = (
                 stem_fn is not None
-                and x.shape[1] % 4 == 0
-                and x.shape[2] % 4 == 0
+                and frames_u8.shape[1] % 8 == 0
+                and frames_u8.shape[2] % 8 == 0
             )
+            if use_stem:
+                # the frontend normalizes after its fast space-to-depth;
+                # feed raw uint8 frames
+                x = frames_u8
+            else:
+                x = frames_u8.astype(jnp.float32) / 255.0
+                x = (x - mean) / std
             sf = stem_fn if use_stem else None
             ss = stem_stages if use_stem else 1
             if fused_upsample:
