@@ -71,17 +71,30 @@ def main():
         # The frames are threaded through the carry and perturbed with the
         # previous result each step, so every iteration is data-dependent —
         # XLA cannot hoist the forward out of the loop (which would fake an
-        # INNER-times-too-fast measurement).
+        # INNER-times-too-fast measurement).  The perturbation writes ONE
+        # byte (dynamic_update_index): a full-tensor `frames + ids` add was
+        # measured at ~0.9 ms/iter of pure harness tax on v5e (u8
+        # elementwise runs far below HBM speed), which belongs to the
+        # harness, not the frame program.
         def body(frames, _):
             ids = frame_program(frames)
-            frames = frames + ids[..., None]
-            return frames, ids[0, 0, 0]
+            probe = ids[0, 0, 0].astype(frames.dtype)
+            frames = jax.lax.dynamic_update_slice(
+                frames, probe.reshape((1,) * frames.ndim), (0,) * frames.ndim
+            )
+            return frames, probe
 
         _, probes = jax.lax.scan(body, frames_u8, None, length=INNER)
         return probes.astype(jnp.int32).sum()
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, size=(BATCH, H, W, 3), dtype=np.uint8))
+    # frames are fed FLAT (batch, H, W*3): identical bytes to HWC row-major
+    # (a free numpy view for any decoder output), but the device array gets
+    # full 128-lane occupancy instead of c=3 minor — see
+    # tpuseg.ops.polyphase.space_to_depth_flat for the measured layout tax.
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(BATCH, H, W * 3), dtype=np.uint8)
+    )
 
     # compile + warmup (forced fetch)
     _ = int(np.asarray(bench_loop(frames)))

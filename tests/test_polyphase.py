@@ -178,3 +178,42 @@ def test_fused_stage3_frontend_matches_direct():
         upsample=False, stem_fn=stem4, stem_stages=4))(frames)
     np.testing.assert_allclose(np.asarray(seg_a), np.asarray(seg_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_space_to_depth_flat_bit_exact():
+    """Flat-row input (n, h, w*c) produces bit-identical s2d output."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops.polyphase import space_to_depth, space_to_depth_flat
+
+    rng = np.random.default_rng(3)
+    for h, w, c, f in [(32, 64, 3, 4), (16, 32, 3, 2), (8, 8, 1, 2)]:
+        x = rng.integers(0, 255, size=(2, h, w, c), dtype=np.uint8)
+        ref = np.asarray(space_to_depth(jnp.asarray(x), f))
+        flat = np.asarray(
+            space_to_depth_flat(jnp.asarray(x.reshape(2, h, w * c)), f, c)
+        )
+        np.testing.assert_array_equal(ref, flat)
+
+
+def test_frontend_accepts_flat_frames():
+    """PolyphaseFrontend / FusedStage3Frontend on flat (n, h, w*3) frames
+    match the 4-D frame path exactly."""
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import FusedStage3Frontend, PolyphaseFrontend
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    mean = [0.290, 0.328, 0.287]
+    std = [0.183, 0.187, 0.184]
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 255, size=(1, 32, 64, 3), dtype=np.uint8)
+    flat = u8.reshape(1, 32, 64 * 3)
+    for cls in (PolyphaseFrontend, FusedStage3Frontend):
+        stem = cls(folded, normalize=(mean, std), dtype=jnp.float32)
+        y4 = np.asarray(stem(jnp.asarray(u8)))
+        y3 = np.asarray(stem(jnp.asarray(flat)))
+        np.testing.assert_array_equal(y4, y3)

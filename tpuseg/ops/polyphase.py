@@ -127,6 +127,45 @@ def space_to_depth(x: jax.Array, f: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
 
 
+def space_to_depth_flat(x: jax.Array, f: int, c: int = 3) -> jax.Array:
+    """``space_to_depth`` from FLAT frame rows: (n, h, w*c) -> the same
+    (n, h/f, w/f, f*f*c) output, bit-exact (tests/test_polyphase.py).
+
+    Motivation (measured on v5e, 1024x2048x3 uint8): a (h, w, 3) device
+    array puts c=3 in the minor (lane) dimension, so EVERY full-tensor op on
+    it — even an elementwise add, or the copy of a loop carry — runs at
+    ~3/128 lane occupancy (~0.8 ms/pass).  The identical bytes shaped
+    (h, w*c) occupy all 128 lanes.  Video decoders produce exactly these
+    bytes contiguously, so feeding frames flat costs the host nothing
+    (a numpy reshape is a view) and removes the layout tax from the whole
+    device program.
+    """
+    n, h, wc = x.shape
+    assert wc % c == 0, (wc, c)
+    w = wc // c
+    itemsize = x.dtype.itemsize
+    cell_bytes = f * c * itemsize
+    if cell_bytes % 4 == 0 and itemsize < 4:
+        words = cell_bytes // 4
+        group = 4 // itemsize
+        xi = jax.lax.bitcast_convert_type(
+            x.reshape(n, h, wc // group, group), jnp.int32)
+        xi = xi.reshape(n, h // f, f, w // f, words)
+        xi = xi.transpose(0, 1, 3, 2, 4)
+        out = jax.lax.bitcast_convert_type(xi, x.dtype)
+        return out.reshape(n, h // f, w // f, f * f * c)
+    x = x.reshape(n, h // f, f, w // f, f * c)
+    return x.transpose(0, 1, 3, 2, 4).reshape(n, h // f, w // f, f * f * c)
+
+
+def fold_input(x: jax.Array, f: int, c: int = 3) -> jax.Array:
+    """Space-to-depth that accepts (n, h, w, c) frames or (n, h, w*c) flat
+    frame rows (preferred on TPU; see space_to_depth_flat)."""
+    if x.ndim == 3:
+        return space_to_depth_flat(x, f, c)
+    return space_to_depth(x, f)
+
+
 def depth_to_space(x: jax.Array, f: int) -> jax.Array:
     n, h, w, c = x.shape
     o = c // (f * f)
@@ -186,7 +225,7 @@ class PolyphaseFrontend:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype = self.convs[0][0].dtype
-        x = space_to_depth(x, self.f)
+        x = fold_input(x, self.f)
         if self.normalize is not None:
             mean48, inv_std48 = self.normalize
             x = (x.astype(jnp.float32) / 255.0 - mean48) * inv_std48
@@ -258,7 +297,7 @@ class FusedStage3Frontend(PolyphaseFrontend):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype = self.dtype
-        x = space_to_depth(x, self.f)
+        x = fold_input(x, self.f)
         if self.normalize is not None:
             mean48, inv_std48 = self.normalize
             x = (x.astype(jnp.float32) / 255.0 - mean48) * inv_std48
