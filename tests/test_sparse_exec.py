@@ -74,3 +74,32 @@ def test_plan_report_excludes_ineligible():
     assert "layer.6.1.conv1" in plans
     assert report["layer.4.0.conv1"].startswith("dense: stride")
     assert report["layer.1.0"].startswith("dense: channels")
+
+
+def test_compact_sparse_composition():
+    """A mask with dead input channels AND block sparsity in the survivor
+    lowers to CompactSparse (channel slice + fused kernel) and matches the
+    masked dense forward."""
+    from tpuseg.models.sparse_exec import CompactSparse
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    name = "layer.6.1.conv1.weight"  # 3x3 512->512 d=4 stride 1
+    masks = _coarse_masks(folded, [name], 0.875)
+    m = np.asarray(masks[name])
+    assert (np.abs(m).sum(axis=(0, 1, 3)) == 0).any(), "need dead channels"
+    masked = apply_masks(folded, masks)
+    plans, report = build_sparse_plans(masked, masks, spec, dtype=jnp.float32)
+    cname = name[: -len(".weight")]
+    assert isinstance(plans[cname], CompactSparse), report[cname]
+
+    x = jnp.asarray(
+        np.random.default_rng(1).random((1, 64, 64, 3), dtype=np.float32)
+    )
+    ref, _, _ = drn_forward(masked, {}, x, spec, train=False)
+    out, _, _ = drn_forward(
+        masked, {}, x, spec, train=False, sparse_plans=plans
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )

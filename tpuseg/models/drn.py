@@ -532,7 +532,12 @@ def _conv_maybe_bn(
                 x, plan, cdef.stride, cdef.dilation, cdef.padding
             ).astype(out_dtype)
         else:
-            x = fused_sparse_conv_apply(x, plan).astype(out_dtype)
+            from tpuseg.models.sparse_exec import CompactSparse
+
+            if isinstance(plan, CompactSparse):
+                x = plan.apply(x).astype(out_dtype)
+            else:
+                x = fused_sparse_conv_apply(x, plan).astype(out_dtype)
     else:
         x = conv2d(
             x,

@@ -17,14 +17,37 @@ Use with BN-folded params (tpuseg.ops.fold_bn) for inference.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Mapping
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from tpuseg.models.drn import DrnSpec
-from tpuseg.ops.sparse_conv import plan_fused_sparse_conv
+from tpuseg.ops.sparse_conv import FusedSparseConv, plan_fused_sparse_conv
+
+
+@dataclasses.dataclass
+class CompactSparse:
+    """Composition of the two sparse lowerings: dead input channels are
+    sliced away (rbgp column compaction) and the COMPACTED conv still runs
+    through the fused block-sparse Pallas kernel.
+
+    At 87.5% coarse block sparsity, compaction alone gives the dead-channel
+    fraction (2-4x FLOPs) but executes the survivor dense; the fused kernel
+    alone gathers all live K-blocks.  Composing multiplies the wins: the
+    gather runs on half the channels AND the kernel skips the remaining
+    dead blocks."""
+
+    live_in: np.ndarray          # (n_live,) int32 input-channel gather
+    inner: FusedSparseConv
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        from tpuseg.ops.sparse_conv import fused_sparse_conv_apply
+
+        return fused_sparse_conv_apply(x[..., self.live_in], self.inner)
 
 
 def build_sparse_plans(
@@ -69,6 +92,29 @@ def build_sparse_plans(
         # RBGP structured lowerings first: COLUMN/GROUP-style patterns admit
         # dense-compacted execution at any stride (tpuseg.ops.rbgp_matmul)
         rplan = plan_rbgp(w, mk, dtype=dtype)
+        if rplan.kind == "column_compact" and cdef.stride == 1:
+            # compose: compact the dead channels away AND run the survivor
+            # through the fused block-sparse kernel when it is still sparse
+            live = np.asarray(rplan.live_in)
+            if (
+                live.size % 128 == 0
+                and cdef.cout % 128 == 0
+                and live.size >= 128
+            ):
+                wc = w[:, :, live, :]
+                mc = mk[:, :, live, :]
+                fplan = plan_fused_sparse_conv(
+                    wc, mc, dilation=cdef.dilation, dtype=dtype,
+                    rows_per_tile=rows_per_tile,
+                )
+                if fplan.block_density < dense_threshold:
+                    plans[cname] = CompactSparse(live.astype(np.int32), fplan)
+                    report[cname] = (
+                        f"compact+sparse: {cdef.cin - live.size}/{cdef.cin} "
+                        f"dead channels, survivor block density "
+                        f"{fplan.block_density:.2f}"
+                    )
+                    continue
         if rplan.kind != "dense" and not (
             rplan.kind == "tap_compact" and cdef.stride != 1
         ):
