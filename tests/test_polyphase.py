@@ -217,3 +217,52 @@ def test_frontend_accepts_flat_frames():
         y4 = np.asarray(stem(jnp.asarray(u8)))
         y3 = np.asarray(stem(jnp.asarray(flat)))
         np.testing.assert_array_equal(y4, y3)
+
+
+def test_refold_matches_s2d():
+    """s2d(4) + refold(4->2) == s2d(2), exactly."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops.polyphase import refold, space_to_depth
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(refold(space_to_depth(x, 4), 4, 2)),
+        np.asarray(space_to_depth(x, 2)),
+    )
+
+
+def test_fold_conv_poly_general():
+    """Generalized fold: matches fold_conv_poly when stride*f_out == f_in,
+    and the folded-grid-stride case (f2 input -> f2 output grid, stride-2
+    conv) matches the direct conv + s2d."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.ops.polyphase import (
+        fold_conv_poly,
+        fold_conv_poly_general,
+        space_to_depth,
+    )
+
+    rng = np.random.default_rng(11)
+    w = rng.normal(size=(3, 3, 2, 5)).astype(np.float32)
+    wp1, lo1, hi1 = fold_conv_poly(w, 2, 1, 4, 2)
+    wp2, sf, lo2, hi2 = fold_conv_poly_general(w, 2, 1, 4, 2)
+    assert sf == 1 and (lo1, hi1) == (lo2, hi2)
+    np.testing.assert_array_equal(wp1, wp2)
+
+    def conv(x, w, stride, pad_lo, pad_hi):
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), [(pad_lo, pad_hi), (pad_lo, pad_hi)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 2)).astype(np.float32))
+    y_ref = space_to_depth(conv(x, jnp.asarray(w), 2, 1, 1), 2)
+    wp, sf, plo, phi = fold_conv_poly_general(w, 2, 1, 2, 2)
+    assert sf == 2
+    y = conv(space_to_depth(x, 2), jnp.asarray(wp), sf, plo, phi)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )

@@ -67,6 +67,78 @@ def fold_conv_poly(
     return wp, -lo, hi
 
 
+def fold_conv_poly_general(
+    w: np.ndarray, stride: int, pad: int, f_in: int, f_out: int
+) -> tuple[np.ndarray, int, int, int]:
+    """Polyphase fold with a FOLDED-GRID STRIDE: valid whenever
+    ``stride * f_out % f_in == 0`` (fold_conv_poly is the special case
+    stride*f_out == f_in, folded stride 1).
+
+    A (K, K, C, O) conv with ``stride``/``pad`` whose input lives on an
+    ``f_in`` grid and whose output lives on an ``f_out`` grid becomes a
+    stride-``sf`` conv with ``sf = stride*f_out//f_in``:
+
+        out full index = stride*(f_out*I + a) + p - pad = f_in*M + dy
+        =>  M = sf*I + (stride*a + p - pad - dy) / f_in   (when integral)
+
+    Returns (w_poly (KH, KW, f_in^2*C, f_out^2*O), sf, pad_lo, pad_hi).
+    """
+    K = w.shape[0]
+    C, O = w.shape[2], w.shape[3]
+    assert (stride * f_out) % f_in == 0, (stride, f_out, f_in)
+    sf = stride * f_out // f_in
+    offs = [
+        (stride * a + p - pad - dy)
+        for a in range(f_out)
+        for p in range(K)
+        for dy in range(f_in)
+        if (stride * a + p - pad - dy) % f_in == 0
+    ]
+    lo = min(offs) // f_in
+    hi = max(offs) // f_in
+    KH = hi - lo + 1
+    wp = np.zeros((KH, KH, f_in * f_in * C, f_out * f_out * O), np.float32)
+    for a in range(f_out):
+        for b in range(f_out):
+            for p in range(K):
+                for q in range(K):
+                    ia = stride * a + p - pad
+                    ib = stride * b + q - pad
+                    for dy in range(f_in):
+                        if (ia - dy) % f_in:
+                            continue
+                        for dx in range(f_in):
+                            if (ib - dx) % f_in:
+                                continue
+                            m = (ia - dy) // f_in
+                            n = (ib - dx) // f_in
+                            ci = (dy * f_in + dx) * C
+                            co = (a * f_out + b) * O
+                            wp[m - lo, n - lo, ci : ci + C, co : co + O] = w[p, q]
+    return wp, sf, -lo, hi
+
+
+def refold(x: jax.Array, f_from: int, f_to: int) -> jax.Array:
+    """Move phase factors from channels to space: (n, h, w, f_from^2*c) on
+    an f_from grid -> (n, h*r, w*r, f_to^2*c) on an f_to grid, r = f_from //
+    f_to.  Channel order (dy, dx, c) is preserved on both sides.
+
+    Row identity: f_from*i + dy = f_to*(r*i + u) + dy' with dy = f_to*u +
+    dy' (u the high part), same for columns — so
+    out[r*i+u, r*j+v, (dy', dx', c)] = x[i, j, (f_to*u+dy', f_to*v+dx', c)].
+    Exactness tested in tests/test_polyphase.py.
+    """
+    n, h, w, ch = x.shape
+    r = f_from // f_to
+    assert f_to * r == f_from, (f_from, f_to)
+    c = ch // (f_from * f_from)
+    # split channels (dy, dx, c) -> (u, dy', v, dx', c)
+    x = x.reshape(n, h, w, r, f_to, r, f_to, c)
+    # (n, h, w, u, dy', v, dx', c) -> (n, h, u, w, v, dy', dx', c)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return x.reshape(n, h * r, w * r, f_to * f_to * c)
+
+
 def fold_stem_weights(w7: np.ndarray, f: int = 4, pad: int = 3):
     """Rearrange a (K, K, C, O) stride-1 conv kernel into the polyphase
     kernel (KH, KW, f*f*C, f*f*O) plus the conv padding to use.
