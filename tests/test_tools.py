@@ -70,3 +70,31 @@ def test_matrix_shapes_drn22():
     assert (s["M"], s["K"], s["N"]) == (512, 256 * 9, 64 * 64)
     s18 = by_name["layer.1.0"]
     assert (s18["M"], s18["K"], s18["N"]) == (16, 16 * 9, 512 * 512)
+
+
+def test_profiling_trace_and_cost_analysis(tmp_path):
+    import jax.numpy as jnp
+
+    from tpuseg.metrics import profiling
+
+    # no-op path
+    with profiling.trace(None):
+        pass
+
+    # real trace writes profile artifacts
+    logdir = str(tmp_path / "trace")
+    import jax
+
+    with profiling.trace(logdir):
+        float(jnp.asarray([1.0, 2.0]).sum())
+    import os
+
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found.extend(files)
+    assert found, "jax.profiler trace produced no files"
+
+    cost = profiling.cost_analysis(
+        lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64))
+    )
+    assert cost.get("flops", 0) > 0

@@ -40,6 +40,9 @@ def parse_args(argv=None):
                         "(on-device loop, dispatch-overhead-immune)")
     p.add_argument("--mean", default="0.290,0.328,0.287")
     p.add_argument("--std", default="0.183,0.187,0.184")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of the run "
+                        "into this directory (TensorBoard/Perfetto)")
     return p.parse_args(argv)
 
 
@@ -88,7 +91,10 @@ def main(argv=None):
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")
     frames = FrameSource(args.video, size=(h, w))
-    result = seg.run(frames, max_frames=args.frames)
+    from tpuseg.metrics.profiling import trace
+
+    with trace(args.profile_dir):
+        result = seg.run(frames, max_frames=args.frames)
     if result["frames"] == 0:
         raise SystemExit(f"error: no frames decoded from {args.video}")
 

@@ -47,6 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--pretrained", default=None, help=".npz or .pth weights")
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
     p.add_argument("--save-dir", default="runs/seg")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of the first "
+                        "epoch into this directory (TensorBoard/Perfetto)")
     p.add_argument("--ms", action="store_true", help="multi-scale test")
     p.add_argument("--scales", default="0.5,0.75,1.25,1.5,1.75")
     p.add_argument("--save-vis", action="store_true",
@@ -261,9 +264,14 @@ def cmd_train(args):
             train_ds, args.batch_size, shuffle=True, drop_last=True,
             epoch=epoch, num_shards=args.num_shards, shard_index=args.shard_index,
         )
-        for images, labels in prefetch_to_device(it):
-            ts, m = step_fn(ts, images, labels)
-            losses.update(float(np.asarray(m["loss"])), len(images))
+        from tpuseg.metrics.profiling import trace
+
+        # device trace of the first trained epoch when requested (the
+        # TPU-native replacement for the reference's AverageMeter timing)
+        with trace(args.profile_dir if epoch == start_epoch else None):
+            for images, labels in prefetch_to_device(it):
+                ts, m = step_fn(ts, images, labels)
+                losses.update(float(np.asarray(m["loss"])), len(images))
         line = {
             "epoch": epoch,
             "train_loss": round(losses.avg, 4),
