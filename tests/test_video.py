@@ -115,3 +115,45 @@ def test_native_decoder_matches_cv2():
         # must still be near-identical
         diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
         assert np.mean(diff) < 3.0, np.mean(diff)
+
+
+def test_device_vs_host_outputs_identical():
+    # host reconstruction (palette[ids], uint8 blend) must match the device
+    # palette gather / overlay blend bit-for-bit in both modes
+    for overlay in (False, True):
+        frames = SyntheticFrames(4, (32, 32))
+        a = _segmenter(want_overlay=overlay, device_outputs=True)
+        b = _segmenter(want_overlay=overlay, device_outputs=False)
+        ra = a.run(frames, warmup=False)
+        rb = b.run(frames, warmup=False)
+        np.testing.assert_array_equal(ra["ids"], rb["ids"])
+        np.testing.assert_array_equal(ra["color"], rb["color"])
+
+
+def test_device_resize_path():
+    # frames at decode resolution, segmentation at target: the program
+    # upscales on device (bilinear, half-pixel centers) and emits
+    # target-resolution ids; overlay reconstructs via host upscale
+    seg = _segmenter(target_size=(64, 64))
+    out = seg.run(SyntheticFrames(3, (32, 32)), warmup=False)
+    assert out["ids"].shape == (3, 64, 64)
+    assert out["color"].shape == (3, 64, 64, 3)
+
+    ov = _segmenter(target_size=(64, 64), want_overlay=True)
+    out2 = ov.run(SyntheticFrames(3, (32, 32)), warmup=False)
+    assert out2["color"].shape == (3, 64, 64, 3)
+    np.testing.assert_array_equal(out["ids"], out2["ids"])
+
+    # wiring check: device resize == jax.image.resize applied host-side,
+    # then the plain target-resolution path
+    frames = list(SyntheticFrames(3, (32, 32)))
+    import jax
+
+    up = [
+        np.clip(np.round(np.asarray(jax.image.resize(
+            f.astype(np.float32), (64, 64, 3), method="bilinear"))),
+            0, 255).astype(np.uint8)
+        for f in frames
+    ]
+    ref = _segmenter().run(up, warmup=False)
+    np.testing.assert_array_equal(out["ids"], ref["ids"])

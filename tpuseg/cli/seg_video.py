@@ -35,6 +35,16 @@ def parse_args(argv=None):
     p.add_argument("--overlay", action="store_true",
                    help="blend prediction over the frame (seg_video overlay)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--host-resize", action="store_true",
+                   help="resize frames to --size on the host during decode "
+                        "(reference behavior; default decodes at native "
+                        "resolution and resizes on device, shipping far "
+                        "fewer bytes when the source is smaller than "
+                        "--size)")
+    p.add_argument("--device-outputs", action="store_true",
+                   help="colorize/overlay on device and fetch RGB frames "
+                        "(best on PCIe-attached chips; default fetches "
+                        "1-byte/px ids and reconstructs color on host)")
     p.add_argument("--device-fps", action="store_true",
                    help="also report pure device throughput at --size "
                         "(on-device loop, dispatch-overhead-immune)")
@@ -87,14 +97,19 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         batch=args.batch,
         want_overlay=args.overlay,
+        device_outputs=args.device_outputs,
+        target_size=None if args.host_resize else (h, w),
     )
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")
-    frames = FrameSource(args.video, size=(h, w))
+    frames = FrameSource(args.video, size=(h, w) if args.host_resize else None)
     from tpuseg.metrics.profiling import trace
 
     with trace(args.profile_dir):
-        result = seg.run(frames, max_frames=args.frames)
+        # colorized frames are only materialized when they are saved —
+        # ids alone are 1 byte/px and the palette gather is reproducible
+        result = seg.run(frames, max_frames=args.frames,
+                         need_color=bool(args.save_dir))
     if result["frames"] == 0:
         raise SystemExit(f"error: no frames decoded from {args.video}")
 

@@ -123,7 +123,27 @@ class VideoSegmenter:
         want_overlay: bool = False,
         fused_upsample: bool = True,
         fold_batchnorm: bool = True,
+        device_outputs: bool = False,
+        target_size: tuple[int, int] | None = None,
     ):
+        # ``target_size=(H, W)`` resizes frames to (H, W) ON DEVICE
+        # (bilinear, half-pixel centers — cv2.INTER_LINEAR's convention)
+        # before the stem.  Feeding decode-native frames and upscaling on
+        # device cuts H2D volume by the scale factor squared (a 640x360
+        # source at 1024x2048 ships 5.5 MB instead of 48 MB per 8-frame
+        # batch) and drops the host resize work entirely.  Resized pixels
+        # are rounded to uint8 so the stem sees the same quantization the
+        # host-resize path produces (cv2's fixed-point bilinear may differ
+        # by 1 LSB on a few pixels).
+        # ``device_outputs=True`` colorizes/overlays on device and fetches
+        # full RGB frames — the right call when the chip is PCIe-attached
+        # (D2H is ~GB/s, host CPU is spared).  The default fetches only the
+        # 1-byte/px class ids and reconstructs color/overlay on the host:
+        # ``palette[ids]`` is an integer gather, bit-identical to the device
+        # ``jnp.take``, and the D2H volume drops 7x (112 -> 16 MB per
+        # 8-frame 1024x2048 batch) — decisive over remote-dispatch links
+        # (measured ~45 MB/s D2H on the tunneled dev chip, which capped the
+        # end-to-end video rate at <2 fps with device outputs).
         stem_fn = None
         stem_stages = 1
         if fold_batchnorm:
@@ -155,6 +175,8 @@ class VideoSegmenter:
         self.spec = spec
         self.batch = batch
         self.want_overlay = want_overlay
+        self.device_outputs = device_outputs
+        self.palette_np = np.asarray(palette, np.uint8)
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
         palette_dev = jnp.asarray(palette)
@@ -167,6 +189,18 @@ class VideoSegmenter:
             flat = frames_u8.ndim == 3
             h = frames_u8.shape[1]
             w = frames_u8.shape[2] // 3 if flat else frames_u8.shape[2]
+            if target_size is not None and (h, w) != tuple(target_size):
+                th, tw = target_size
+                if flat:
+                    frames_u8 = frames_u8.reshape(frames_u8.shape[0], h, w, 3)
+                x = jax.image.resize(
+                    frames_u8.astype(jnp.float32),
+                    (frames_u8.shape[0], th, tw, 3),
+                    method="bilinear",
+                )
+                frames_u8 = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+                frames_u8 = frames_u8.reshape(frames_u8.shape[0], th, tw * 3)
+                flat, h, w = True, th, tw
             use_stem = stem_fn is not None and h % 8 == 0 and w % 8 == 0
             if use_stem:
                 # the frontend normalizes after its fast space-to-depth;
@@ -203,6 +237,8 @@ class VideoSegmenter:
             # upsampled map can overshoot the frame by a few pixels — crop
             ids = ids[:, :h, :w]
             ids = ids.astype(jnp.uint8)
+            if not device_outputs:
+                return ids, ids, ids
             color = jnp.take(palette_dev, ids, axis=0)
             if want_overlay:
                 if flat:
@@ -221,6 +257,7 @@ class VideoSegmenter:
         *,
         max_frames: int | None = None,
         warmup: bool = True,
+        need_color: bool = True,
     ) -> dict:
         """Stream frames through the device program.
 
@@ -252,10 +289,11 @@ class VideoSegmenter:
             if arr.shape[0] < self.batch:
                 pad = self.batch - arr.shape[0]
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            if not self.want_overlay:
+            frames_host = arr
+            if not (self.want_overlay and self.device_outputs):
                 # upload flat (B, H, W*3): same bytes (numpy view), full
-                # lane occupancy on device.  Overlay mode keeps 4-D frames
-                # (the blend consumes them in image shape).
+                # lane occupancy on device.  Device-side overlay blending
+                # keeps 4-D frames (the blend consumes them in image shape).
                 arr = arr.reshape(arr.shape[0], arr.shape[1], -1)
             if first and warmup:
                 # compile excluded from timing
@@ -266,16 +304,38 @@ class VideoSegmenter:
             if t_wall0 is None:
                 t_wall0 = t0
             results = self._program(self.params, self.bn_state, jnp.asarray(arr))
-            return results, arr.shape[0] - pad, t0
+            return results, arr.shape[0] - pad, t0, frames_host
 
         def collect(flight):
-            (ids, color, overlay), n, t0 = flight
+            (ids, color, overlay), n, t0, frames_host = flight
             ids = np.asarray(ids)  # forces completion (device->host)
-            color = np.asarray(overlay if self.want_overlay else color)
+            if not need_color and not self.device_outputs:
+                color = None
+            elif self.device_outputs:
+                color = np.asarray(overlay if self.want_overlay else color)
+            else:
+                # host reconstruction from ids: bit-identical to the device
+                # palette gather / overlay blend (integer ops both sides)
+                color = self.palette_np[ids]
+                if self.want_overlay:
+                    imgs = frames_host.reshape(frames_host.shape[:3] + (3,))
+                    if imgs.shape[1:3] != ids.shape[1:3]:
+                        # device-resize mode: frames were shipped at decode
+                        # resolution; upscale host-side for the blend
+                        from PIL import Image
+
+                        th, tw = ids.shape[1:3]
+                        imgs = np.stack([
+                            np.asarray(Image.fromarray(f).resize(
+                                (tw, th), Image.BILINEAR))
+                            for f in imgs
+                        ])
+                    color = (imgs // 2 + color // 2).astype(np.uint8)
             dt = time.perf_counter() - t0
             batch_times.append((dt, n))
             ids_out.append(ids[:n])
-            color_out.append(color[:n])
+            if color is not None:
+                color_out.append(color[:n])
             fps_meter.tick()
             return n
 
