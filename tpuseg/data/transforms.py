@@ -19,8 +19,13 @@ from PIL import Image
 
 
 def pad_reflection(image: np.ndarray, top, bottom, left, right) -> np.ndarray:
-    """Iterative edge reflection, matching data_transforms.py:128-155 for
-    pads larger than the image."""
+    """Mixed-mode reflection pad with the reference's exact semantics
+    (data_transforms.py:128-155, verified element-exact in tests): the top
+    and left sides reflect EXCLUDING the edge pixel (np.pad ``reflect``),
+    the bottom and right sides reflect INCLUDING it (np.pad ``symmetric``).
+    Pads larger than the image reflect at most dim-1 pixels per bounce and
+    recurse on the padded result (which differs from np.pad's own
+    multi-bounce handling, hence the explicit recursion)."""
     if top == bottom == left == right == 0:
         return image
     h, w = image.shape[:2]
@@ -33,31 +38,23 @@ def pad_reflection(image: np.ndarray, top, bottom, left, right) -> np.ndarray:
         next_left, left = left - w + 1, w - 1
     if right > w - 1:
         next_right, right = right - w + 1, w - 1
-    new_shape = list(image.shape)
-    new_shape[0] += top + bottom
-    new_shape[1] += left + right
-    out = np.empty(new_shape, dtype=image.dtype)
-    out[top : top + h, left : left + w] = image
-    if top:
-        out[:top, left : left + w] = image[top:0:-1, :]
-    if bottom:
-        out[top + h :, left : left + w] = image[-1 : -bottom - 1 : -1, :]
-    if left:
-        out[:, :left] = out[:, left * 2 : left : -1]
-    if right:
-        out[:, left + w :] = out[:, -right - 1 : -right * 2 - 1 : -1]
+    ext = [(0, 0)] * (image.ndim - 2)
+    out = np.pad(
+        np.pad(image, [(top, 0), (left, 0)] + ext, mode="reflect"),
+        [(0, bottom), (0, right)] + ext,
+        mode="symmetric",
+    )
     return pad_reflection(out, next_top, next_bottom, next_left, next_right)
 
 
 def pad_constant(image, top, bottom, left, right, value):
     if top == bottom == left == right == 0:
         return image
-    new_shape = list(image.shape)
-    new_shape[0] += top + bottom
-    new_shape[1] += left + right
-    out = np.full(new_shape, value, dtype=image.dtype)
-    out[top : top + image.shape[0], left : left + image.shape[1]] = image
-    return out
+    ext = [(0, 0)] * (image.ndim - 2)
+    return np.pad(
+        image, [(top, bottom), (left, right)] + ext,
+        mode="constant", constant_values=value,
+    )
 
 
 def pad_image(mode: str, image: Image.Image, top, bottom, left, right, value=0):
