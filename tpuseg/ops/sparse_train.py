@@ -136,10 +136,15 @@ def pack_vals(w_hwio: jax.Array, st: SparseTrainStruct,
     nkb, nmb = st.cin // st.bk, st.cout // st.bm
     w4 = w_hwio.reshape(T, nkb, st.bk, nmb, st.bm)
     w4 = w4.transpose(3, 0, 1, 2, 4)                     # (nmb, T, nkb, bk, bm)
-    idx = jnp.asarray(st.rows[:, None, :, None, None])   # (nmb, 1, S, 1, 1)
-    idx = jnp.broadcast_to(
-        idx, (nmb, T, st.s, st.bk, st.bm)).astype(jnp.int32)
-    vals = jnp.take_along_axis(w4, idx, axis=2)          # (nmb, T, S, bk, bm)
+    # st.rows is host-side numpy: index with PYTHON ints so XLA sees pure
+    # static slices + concat.  The elementwise take_along_axis this
+    # replaces compiled to a generic gather whose VJP scatter cost ~13 ms
+    # per train step on v5e — 4x the entire sparse fwd+bwd (measured).
+    vals = jnp.stack([
+        jnp.stack([w4[j, :, int(st.rows[j, si])] for si in range(st.s)],
+                  axis=1)                                # (T, S, bk, bm)
+        for j in range(nmb)
+    ])                                                   # (nmb, T, S, bk, bm)
     vals = vals * jnp.asarray(st.nzsel)[:, :, :, None, None]
     return vals.reshape(nmb, T * st.s * st.bk, st.bm).astype(dtype)
 
@@ -159,9 +164,14 @@ def _transpose_vals(vals: jax.Array, st: SparseTrainStruct) -> jax.Array:
     nmb = st.cout // st.bm
     nkb = st.cin // st.bk
     v = vals.reshape(nmb * T * st.s, st.bk, st.bm)
-    v = jnp.concatenate([v, jnp.zeros((1, st.bk, st.bm), v.dtype)], axis=0)
-    g = jnp.asarray(st.gather_t.reshape(-1))
-    vt = v[g]                                           # (nkb*T*St, bk, bm)
+    zero = jnp.zeros((st.bk, st.bm), v.dtype)
+    n_src = nmb * T * st.s
+    # static re-index (gather_t is host numpy; the sentinel selects the
+    # zero block) — a stack of static slices, not a device gather
+    vt = jnp.stack([
+        v[gi] if (gi := int(g)) < n_src else zero
+        for g in st.gather_t.reshape(-1)
+    ])                                                  # (nkb*T*St, bk, bm)
     vt = vt.transpose(0, 2, 1)                          # block transpose
     return vt.reshape(nkb, T * st.st * st.bm, st.bk)
 
@@ -202,9 +212,12 @@ def _sc_bwd(st, res, dy):
     pad = st.dilation * (st.kernel - 1) // 2
     xp = jnp.pad(x.astype(vals.dtype),
                  ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    # gather support channels once: (n, h+2p, w+2p, nmb*S*bk)
-    ch = (st.rows[:, :, None] * st.bk + np.arange(st.bk)).reshape(-1)
-    xg = xp[..., jnp.asarray(ch)]
+    # gather support channels once: (n, h+2p, w+2p, nmb*S*bk) — static
+    # contiguous channel slices (st.rows is host numpy), not a gather
+    xg = jnp.concatenate([
+        xp[..., int(r) * st.bk:(int(r) + 1) * st.bk]
+        for r in st.rows.reshape(-1)
+    ], axis=-1)
     dyr = dyc.reshape(n, h, w_, nmb, st.bm)
     parts = []
     for t in range(T):
