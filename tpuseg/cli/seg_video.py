@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--overlay", action="store_true",
                    help="blend prediction over the frame (seg_video overlay)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 serving mode: run the MXU-roofline stages "
+                        "(5-8) quantized (symmetric PTQ, per-channel "
+                        "weight scales; tpuseg.ops.quant).  Changes "
+                        "numerics — ids typically agree with bf16 on "
+                        ">99%% of pixels")
     p.add_argument("--host-resize", action="store_true",
                    help="resize frames to --size on the host during decode "
                         "(reference behavior; default decodes at native "
@@ -99,6 +105,7 @@ def main(argv=None):
         want_overlay=args.overlay,
         device_outputs=args.device_outputs,
         target_size=None if args.host_resize else (h, w),
+        quantize=args.quantize,
     )
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")

@@ -533,8 +533,12 @@ def _conv_maybe_bn(
             ).astype(out_dtype)
         else:
             from tpuseg.models.sparse_exec import CompactSparse
+            from tpuseg.ops.quant import QuantConv
 
-            if isinstance(plan, CompactSparse):
+            if isinstance(plan, (CompactSparse, QuantConv)) or hasattr(
+                plan, "apply"
+            ):
+                # CompactSparse, int8 QuantConv, calibration probes
                 x = plan.apply(x).astype(out_dtype)
             else:
                 x = fused_sparse_conv_apply(x, plan).astype(out_dtype)

@@ -1,0 +1,174 @@
+"""Int8 post-training quantization for DRNSeg serving — the TPU-native
+compression axis the reference leaves on the table.
+
+The reference framework compresses by pruning (RBGP masks) and KD; its
+deployment story stops at fp32 CUDA kernels.  On TPU v5e the MXU runs
+int8 at 2x the bf16 rate, and the dense dilated stages 5-8 of DRN-D-22
+sit at the bf16 MXU roofline (92% utilization — docs/PERF_NOTES.md), so
+int8 is the only dense lever left: the layer-6 conv shape measured
+0.628 ms/frame int8 vs 1.070 ms bf16 (1.70x, chained-scan timing).
+
+Scheme (standard symmetric PTQ):
+- weights: per-output-channel absmax scales, quantized once at plan build
+  (int8, zero-point 0);
+- activations: per-tensor scale, either dynamic (in-graph absmax each
+  batch — no calibration needed, the default) or static from a
+  calibration pass (``calibrate_scales``), which removes the per-conv
+  reduction at serving time;
+- conv accumulates int32 on the MXU, rescales to the compute dtype, and
+  bias/BN-folded-bias/residual/relu run unquantized exactly as in the
+  bf16 path.
+
+Routing follows the sparse-execution pattern: ``build_quant_plans``
+returns ``{conv_name: QuantConv}`` consumed by ``drn_forward``'s
+``sparse_plans`` dispatch (tpuseg/models/drn.py:_conv_maybe_bn).
+
+Accuracy: quantization changes numerics — this is an opt-in serving mode
+(``seg_video --quantize``), reported separately from the bf16 headline.
+``ids_agreement`` quantifies the effect as the fraction of argmax class
+ids that match the bf16 path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class QuantConv:
+    """Int8 execution plan for one conv layer."""
+
+    w_q: jax.Array               # (KH, KW, C, O) int8
+    w_scale: jax.Array           # (O,) f32 per-output-channel
+    stride: int
+    dilation: int
+    padding: int
+    x_scale: float | None = None  # static activation scale; None = dynamic
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        if self.x_scale is None:
+            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            x_scale = jnp.maximum(absmax, 1e-8) / 127.0
+        else:
+            x_scale = jnp.float32(self.x_scale)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, self.w_q,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * (x_scale * self.w_scale)
+
+
+def quantize_weight(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(KH, KW, C, O) float -> (int8 weights, (O,) per-channel scales)."""
+    w = np.asarray(w, np.float32)
+    absmax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
+    scale = np.maximum(absmax, 1e-8) / 127.0
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return wq, scale.astype(np.float32)
+
+
+def build_quant_plans(
+    params,
+    spec,
+    *,
+    min_channels: int = 128,
+    stages: tuple[int, ...] = (5, 6, 7, 8),
+    x_scales: dict[str, float] | None = None,
+) -> dict[str, QuantConv]:
+    """Quantize the eligible convs of a (BN-folded) DRN param dict.
+
+    Eligible: stride-1 KxK convs in ``stages`` with >= ``min_channels``
+    in/out channels — the MXU-roofline layers where int8's 2x rate pays.
+    The low-channel frontend and the seg head stay bf16 (layout-bound and
+    accuracy-critical respectively).  ``x_scales`` (from
+    ``calibrate_scales``) switches layers to static activation scales.
+    """
+    plans: dict[str, QuantConv] = {}
+
+    def consider(cdef):
+        if cdef.stride != 1 or cdef.kernel < 1:
+            return
+        w = np.asarray(params[f"{cdef.name}.weight"], np.float32)
+        if w.shape[2] < min_channels or w.shape[3] < min_channels:
+            return
+        wq, ws = quantize_weight(w)
+        plans[cdef.name] = QuantConv(
+            w_q=jnp.asarray(wq),
+            w_scale=jnp.asarray(ws),
+            stride=cdef.stride,
+            dilation=cdef.dilation,
+            padding=cdef.padding,
+            x_scale=(x_scales or {}).get(cdef.name),
+        )
+
+    for key, sdef in spec.stages:
+        try:
+            idx = int(key.rsplit(".", 1)[-1])
+        except ValueError:
+            continue
+        if idx not in stages:
+            continue
+        for cdef, _bn in sdef.convs:
+            consider(cdef)
+        for blk in sdef.blocks:
+            for cdef in blk.convs:
+                consider(cdef)
+    return plans
+
+
+def calibrate_scales(
+    params, state, spec, frames, *, plans: dict[str, QuantConv],
+    compute_dtype=jnp.bfloat16, stem_fn=None, stem_stages: int = 1,
+) -> dict[str, float]:
+    """Static activation scales: run the bf16 forward over calibration
+    ``frames`` with absmax probes on each quantized conv's input.
+
+    Returns {conv_name: x_scale}; feed back into ``build_quant_plans``."""
+    from tpuseg.models.drn import drn_forward
+
+    probes: dict[str, float] = {name: 0.0 for name in plans}
+
+    class _Probe:
+        """Plan that records its input absmax then runs the bf16 conv."""
+
+        def __init__(self, name, plan):
+            self.name, self.plan = name, plan
+
+        def apply(self, x):
+            # runs unjitted (calibration only): pull absmax to host
+            amax = float(np.asarray(jnp.max(jnp.abs(x.astype(jnp.float32)))))
+            probes[self.name] = max(probes[self.name], amax)
+            w = self.plan.w_q.astype(jnp.float32) * self.plan.w_scale
+            return jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), w,
+                window_strides=(self.plan.stride,) * 2,
+                padding=[(self.plan.padding,) * 2] * 2,
+                rhs_dilation=(self.plan.dilation,) * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    probe_plans = {n: _Probe(n, p) for n, p in plans.items()}
+    with jax.disable_jit():
+        for batch in frames:
+            drn_forward(params, state, jnp.asarray(batch), spec, train=False,
+                        compute_dtype=compute_dtype, sparse_plans=probe_plans,
+                        stem_fn=stem_fn, stem_stages=stem_stages)
+    return {n: v / 127.0 for n, v in probes.items() if v > 0}
+
+
+def ids_agreement(ids_a: np.ndarray, ids_b: np.ndarray) -> float:
+    """Fraction of pixels whose argmax class id matches between two runs."""
+    a, b = np.asarray(ids_a), np.asarray(ids_b)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    return float((a == b).mean())

@@ -125,7 +125,13 @@ class VideoSegmenter:
         fold_batchnorm: bool = True,
         device_outputs: bool = False,
         target_size: tuple[int, int] | None = None,
+        quantize: bool = False,
     ):
+        # ``quantize=True`` runs the MXU-roofline stages (5-8) in int8
+        # (symmetric PTQ, per-channel weight scales, dynamic activation
+        # scales — tpuseg.ops.quant).  Opt-in serving mode: ids typically
+        # agree with bf16 on >99% of pixels (report with ids_agreement),
+        # throughput rises ~1.2x end-to-end.
         # ``target_size=(H, W)`` resizes frames to (H, W) ON DEVICE
         # (bilinear, half-pixel centers — cv2.INTER_LINEAR's convention)
         # before the stem.  Feeding decode-native frames and upscaling on
@@ -170,6 +176,11 @@ class VideoSegmenter:
                     stem_fn = PolyphaseFrontend(
                         params, dtype=stem_dtype, normalize=(mean, std))
                     stem_stages = 3
+        exec_plans = None
+        if quantize:
+            from tpuseg.ops.quant import build_quant_plans
+
+            exec_plans = build_quant_plans(params, spec)
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
         self.spec = spec
@@ -223,14 +234,14 @@ class VideoSegmenter:
                 _, seg, _ = drnseg_forward(
                     params, bn_state, x, spec,
                     train=False, compute_dtype=compute_dtype, upsample=False,
-                    stem_fn=sf, stem_stages=ss,
+                    stem_fn=sf, stem_stages=ss, sparse_plans=exec_plans,
                 )
                 ids = upsample_argmax(seg, params["up.weight"])
             else:
                 logp, _, _ = drnseg_forward(
                     params, bn_state, x, spec,
                     train=False, compute_dtype=compute_dtype,
-                    stem_fn=sf, stem_stages=ss,
+                    stem_fn=sf, stem_stages=ss, sparse_plans=exec_plans,
                 )
                 ids = jnp.argmax(logp, axis=-1)
             # inputs not divisible by 8 round the feature grid up, so the
