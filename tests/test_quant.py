@@ -73,3 +73,15 @@ def test_calibrated_static_scales(rng):
     q, _, _ = drnseg_forward(folded, {}, x, spec, train=False,
                              sparse_plans=static)
     assert np.isfinite(np.asarray(q)).all()
+
+
+def test_video_segmenter_quantized(rng):
+    from tpuseg.video import SyntheticFrames, VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    seg = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                         [0.18, 0.19, 0.18], compute_dtype=None, batch=2,
+                         quantize=True)
+    out = seg.run(SyntheticFrames(2, (64, 64)), warmup=False)
+    assert out["ids"].shape == (2, 64, 64)
+    assert out["ids"].max() < 19
