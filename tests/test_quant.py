@@ -85,3 +85,15 @@ def test_video_segmenter_quantized(rng):
     out = seg.run(SyntheticFrames(2, (64, 64)), warmup=False)
     assert out["ids"].shape == (2, 64, 64)
     assert out["ids"].max() < 19
+
+
+def test_video_segmenter_calibrated(rng):
+    from tpuseg.video import SyntheticFrames, VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    calib = list(SyntheticFrames(2, (64, 64)))
+    seg = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                         [0.18, 0.19, 0.18], compute_dtype=None, batch=2,
+                         quantize=True, calib_frames=calib)
+    out = seg.run(SyntheticFrames(2, (64, 64)), warmup=False)
+    assert out["ids"].shape == (2, 64, 64)

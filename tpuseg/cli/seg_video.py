@@ -41,6 +41,10 @@ def parse_args(argv=None):
                         "weight scales; tpuseg.ops.quant).  Changes "
                         "numerics — ids typically agree with bf16 on "
                         ">99%% of pixels")
+    p.add_argument("--calibrate", type=int, default=0, metavar="N",
+                   help="with --quantize: calibrate static activation "
+                        "scales on the first N frames (removes the "
+                        "per-conv absmax reduction; 153.8 -> 165.6 fps)")
     p.add_argument("--host-resize", action="store_true",
                    help="resize frames to --size on the host during decode "
                         "(reference behavior; default decodes at native "
@@ -94,6 +98,12 @@ def main(argv=None):
     std = [float(v) for v in args.std.split(",")]
 
     params, state, spec = load_model(args)
+    calib = None
+    if args.quantize and args.calibrate > 0:
+        if not os.path.exists(args.video):
+            raise SystemExit(f"error: video file not found: {args.video}")
+        calib = [f for _, f in zip(range(args.calibrate),
+                                   FrameSource(args.video, size=(h, w)))]
     seg = VideoSegmenter(
         params,
         state,
@@ -106,6 +116,7 @@ def main(argv=None):
         device_outputs=args.device_outputs,
         target_size=None if args.host_resize else (h, w),
         quantize=args.quantize,
+        calib_frames=calib,
     )
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")
