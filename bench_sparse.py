@@ -38,15 +38,14 @@ def main():
     )
 
     def timeit(one_fn, reps=3):
+        # full-output chaining — see the DCE note in bench_fused.timeit
         @jax.jit
         def loop(x):
             def body(xc, _):
-                y = one_fn(xc)
-                xc = xc + y[:, :1, :1, :].astype(xc.dtype) * 1e-6
-                return xc, y[0, 0, 0, 0]
+                return one_fn(xc).astype(xc.dtype), ()
 
-            _, probes = jax.lax.scan(body, x, None, length=INNER)
-            return probes.astype(jnp.float32).sum()
+            y, _ = jax.lax.scan(body, x, None, length=INNER)
+            return y[0, 0, 0, 0].astype(jnp.float32)
 
         float(np.asarray(loop(x)))
         best = 1e9
@@ -119,14 +118,18 @@ def bench_fused():
     x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
 
     def timeit(one_fn, reps=3):
+        # The FULL output must feed the next iteration: probing a slice of
+        # y lets XLA dead-code-eliminate most of a dense conv (it computes
+        # only the probed pixels), silently deflating the dense baseline —
+        # measured 0.17 ms/frame "dense" vs 1.06 honest at the layer-6
+        # shape.  Pallas calls are opaque to that rewrite, so a sliced
+        # probe biases dense-vs-sparse comparisons in sparse's favor.
         @jax.jit
         def loop(x):
             def body(xc, _):
-                y = one_fn(xc)
-                xc = xc + y[:, :1, :1, :].astype(xc.dtype) * 1e-6
-                return xc, y[0, 0, 0, 0]
-            _, probes = jax.lax.scan(body, x, None, length=INNER)
-            return probes.astype(jnp.float32).sum()
+                return one_fn(xc).astype(xc.dtype), ()
+            y, _ = jax.lax.scan(body, x, None, length=INNER)
+            return y[0, 0, 0, 0].astype(jnp.float32)
         float(np.asarray(loop(x)))
         best = 1e9
         for _ in range(reps):
@@ -146,10 +149,20 @@ def bench_fused():
         mask = np.transpose(mask_oihw, (2, 3, 1, 0))
         plan = plan_fused_sparse_conv(w, mask, dilation=DIL)
         t = timeit(lambda xx, p=plan: fused_sparse_conv_apply(xx, p, rows_per_tile=4))
+        from tpuseg.ops.sparse_conv import (
+            fused_sparse_conv_apply_q,
+            quantize_fused_plan,
+        )
+
+        qplan = quantize_fused_plan(plan, x_scale=0.05)
+        tq = timeit(lambda xx, p=qplan: fused_sparse_conv_apply_q(
+            xx, p, rows_per_tile=4))
         print(json.dumps({
             "metric": f"fused_sparse_conv_{int(sparsity*1000)/10}pct",
             "block_density": round(plan.block_density, 4),
             "ms": round(t * 1e3, 3),
+            "int8_ms": round(tq * 1e3, 3),
+            "int8_speedup_vs_dense": round(t_dense / tq, 3),
             "speedup_vs_dense": round(t_dense / t, 3),
         }))
 
@@ -239,6 +252,22 @@ def bench_model():
             "value": round(1 / t_sparse, 2),
             "sparse_layers": n_sparse,
             "speedup_vs_dense": round(t_dense / t_sparse, 3),
+        }))
+
+        # the full compression stack: prune (sparse kernels) + int8 PTQ on
+        # the same layers (quantized fused kernels) + int8 on the
+        # remaining eligible dense convs (tpuseg.ops.quant)
+        from tpuseg.models.sparse_exec import quantize_sparse_plans
+        from tpuseg.ops.quant import build_quant_plans
+
+        qsp = quantize_sparse_plans(plans)
+        qdense = build_quant_plans(dict(masked), spec)
+        composed = {**qdense, **qsp}
+        t_comp = run_model(jax.device_put(dict(masked)), composed)
+        print(json.dumps({
+            "metric": f"model_sparse_int8_{int(sparsity*1000)/10}pct_fps",
+            "value": round(1 / t_comp, 2),
+            "speedup_vs_dense": round(t_dense / t_comp, 3),
         }))
 
 

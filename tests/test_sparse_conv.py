@@ -156,3 +156,30 @@ def test_plan_rows_per_tile_is_honored():
     # an explicit override still wins (and R=4 does not divide h=6 -> assert)
     with pytest.raises(AssertionError):
         fused_sparse_conv_apply(x, plan, rows_per_tile=4)
+
+
+def test_int8_fused_sparse_conv_matches_masked_dense():
+    # prune + quantize composition: int8 kernel vs f32 dense-masked conv
+    from tpuseg.ops.sparse_conv import (
+        fused_sparse_conv_apply_q,
+        plan_fused_sparse_conv,
+        quantize_fused_plan,
+    )
+    from tpuseg.sparsity.base import hwio_to_oihw, oihw_to_hwio
+    from tpuseg.sparsity.block import BlockConfig, prune_as_block
+
+    rng = np.random.default_rng(0)
+    C, H, W, DIL = 256, 32, 64, 2
+    w = rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05
+    m = prune_as_block(
+        hwio_to_oihw(w),
+        BlockConfig(0.875, 128, 128, -1, -1, collapse_tensor=False))
+    mask = oihw_to_hwio(m).astype(np.float32)
+    plan = plan_fused_sparse_conv(w * mask, mask, dilation=DIL)
+    for x_scale in (None, 0.05):  # dynamic and static activation scales
+        qplan = quantize_fused_plan(plan, x_scale=x_scale)
+        x = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+        y = fused_sparse_conv_apply_q(x, qplan)
+        ref = conv2d(x, jnp.asarray(w * mask), 1, DIL, DIL)
+        rel = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 0.05, (x_scale, rel)  # two-sided int8 rounding

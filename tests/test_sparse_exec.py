@@ -103,3 +103,30 @@ def test_compact_sparse_composition():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_quantized_sparse_plans_forward():
+    """prune + int8 composition: quantized sparse plans route through the
+    model forward and approximate the masked dense forward."""
+    from tpuseg.models.sparse_exec import quantize_sparse_plans
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    layers = ["layer.6.0.conv1.weight", "layer.8.0.weight"]
+    masks = _coarse_masks(folded, layers, 0.75)
+    masked = apply_masks(folded, masks)
+    plans, _ = build_sparse_plans(masked, masks, spec, dtype=jnp.float32)
+    qplans = quantize_sparse_plans(plans)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 64, 64, 3), dtype=np.float32)
+    )
+    ref, _, _ = drn_forward(masked, {}, x, spec, train=False)
+    out, _, _ = drn_forward(masked, {}, x, spec, train=False,
+                            sparse_plans=qplans)
+    # log-softmax outputs; int8 conv noise shifts logits slightly
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 0.5, err
+    ids_ref = np.asarray(jnp.argmax(ref, -1))
+    ids_q = np.asarray(jnp.argmax(out, -1))
+    assert (ids_ref == ids_q).mean() > 0.95

@@ -534,11 +534,17 @@ def _conv_maybe_bn(
         else:
             from tpuseg.models.sparse_exec import CompactSparse
             from tpuseg.ops.quant import QuantConv
+            from tpuseg.ops.sparse_conv import (
+                FusedSparseConvQ,
+                fused_sparse_conv_apply_q,
+            )
 
-            if isinstance(plan, (CompactSparse, QuantConv)) or hasattr(
+            if isinstance(plan, FusedSparseConvQ):
+                x = fused_sparse_conv_apply_q(x, plan).astype(out_dtype)
+            elif isinstance(plan, (CompactSparse, QuantConv)) or hasattr(
                 plan, "apply"
             ):
-                # CompactSparse, int8 QuantConv, calibration probes
+                # CompactSparse(Q), int8 QuantConv, calibration probes
                 x = plan.apply(x).astype(out_dtype)
             else:
                 x = fused_sparse_conv_apply(x, plan).astype(out_dtype)

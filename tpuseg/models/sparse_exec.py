@@ -50,6 +50,41 @@ class CompactSparse:
         return fused_sparse_conv_apply(x[..., self.live_in], self.inner)
 
 
+@dataclasses.dataclass
+class CompactSparseQ:
+    """CompactSparse with an int8-quantized inner kernel — the full
+    compression stack (prune + compact + quantize) on one layer."""
+
+    live_in: np.ndarray
+    inner: "object"  # FusedSparseConvQ
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        from tpuseg.ops.sparse_conv import fused_sparse_conv_apply_q
+
+        return fused_sparse_conv_apply_q(x[..., self.live_in], self.inner)
+
+
+def quantize_sparse_plans(plans: dict, x_scales: dict | None = None) -> dict:
+    """Quantize a sparse execution-plan dict to int8 where a quantized
+    lowering exists (FusedSparseConv and CompactSparse -> int8 fused
+    kernel; other plan kinds pass through unchanged).  ``x_scales`` maps
+    conv name -> static activation scale (tpuseg.ops.quant.calibrate
+    semantics); absent entries use dynamic in-graph absmax."""
+    from tpuseg.ops.sparse_conv import quantize_fused_plan
+
+    out: dict = {}
+    for name, p in plans.items():
+        xs = (x_scales or {}).get(name)
+        if isinstance(p, FusedSparseConv):
+            out[name] = quantize_fused_plan(p, x_scale=xs)
+        elif isinstance(p, CompactSparse):
+            out[name] = CompactSparseQ(
+                p.live_in, quantize_fused_plan(p.inner, x_scale=xs))
+        else:
+            out[name] = p
+    return out
+
+
 def build_sparse_plans(
     params: Mapping,
     masks: Mapping,

@@ -557,3 +557,171 @@ def sparse_conv_apply(
                 flat.astype(wt.dtype), wt, preferred_element_type=jnp.float32
             )
     return y[:P].reshape(n, h, w_, plan.cout)
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantized fused sparse conv: prune + quantize on the same layer
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FusedSparseConvQ:
+    """Int8 packing of :class:`FusedSparseConv` — the composition of the two
+    compression axes (block sparsity + symmetric PTQ, tpuseg.ops.quant) in
+    ONE kernel.  v5e runs int8 MXU at 2x bf16, and the kernel's secondary
+    bottleneck (the in-register tap-slice copies building xmat) also halves
+    in bytes, so both the compute and the copy floor drop."""
+
+    vals: jax.Array      # (nmb, T*S*bk, bm) int8
+    w_scale: jax.Array   # (nmb, 1, bm) f32 per-output-channel dequant scale
+    rows: jax.Array      # (nmb, S) int32
+    taps: np.ndarray
+    s: int
+    bk: int
+    bm: int
+    kernel: int
+    dilation: int
+    cin: int
+    cout: int
+    block_density: float
+    rows_per_tile: int = 8
+    x_scale: float | None = None  # static activation scale; None = dynamic
+
+
+def quantize_fused_plan(
+    plan: FusedSparseConv, x_scale: float | None = None
+) -> FusedSparseConvQ:
+    """Quantize a packed fused-sparse plan to int8 (per-output-channel
+    weight scales over the packed value tensor)."""
+    vals = np.asarray(plan.vals, np.float32)            # (nmb, TSbk, bm)
+    absmax = np.abs(vals).max(axis=1, keepdims=True)    # (nmb, 1, bm)
+    scale = np.maximum(absmax, 1e-8) / 127.0
+    vq = np.clip(np.round(vals / scale), -127, 127).astype(np.int8)
+    return FusedSparseConvQ(
+        vals=jnp.asarray(vq),
+        w_scale=jnp.asarray(scale.astype(np.float32)),
+        rows=plan.rows,
+        taps=plan.taps,
+        s=plan.s,
+        bk=plan.bk,
+        bm=plan.bm,
+        kernel=plan.kernel,
+        dilation=plan.dilation,
+        cin=plan.cin,
+        cout=plan.cout,
+        block_density=plan.block_density,
+        rows_per_tile=plan.rows_per_tile,
+        x_scale=x_scale,
+    )
+
+
+def fused_sparse_conv_apply_q(
+    x: jax.Array, plan: FusedSparseConvQ, rows_per_tile: int | None = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Int8 variant of :func:`fused_sparse_conv_apply`: the activation is
+    quantized in-graph (dynamic absmax, or ``plan.x_scale`` when
+    calibrated), the kernel's dot runs int8 x int8 -> int32 on the MXU, and
+    the epilogue rescales by (x_scale * per-channel w_scale).  Zero padding
+    is exact under symmetric quantization (0 -> 0)."""
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    R = plan.rows_per_tile if rows_per_tile is None else rows_per_tile
+    assert h % R == 0, (h, R)
+    if plan.x_scale is None:
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        xs = jnp.maximum(absmax, 1e-8) / 127.0
+    else:
+        xs = jnp.float32(plan.x_scale)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / xs), -127, 127
+    ).astype(jnp.int8)
+    # int8 tiles are (32, 128): DMA slice extents on the W dim must be
+    # 32-aligned (8-aligned for bf16; unaligned extents FAULT the worker —
+    # see tpuseg/ops/winograd.py STATUS)
+    wp = -(-(w_ + 2 * pad) // 32) * 32
+    est = (R * w_ * T * S * bk + (R + 2 * pad) * wp * S * bk)
+    assert est < 12 * 2**20, (
+        f"int8 fused sparse conv tile too large (~{est/2**20:.1f} MB)")
+    xp = jnp.pad(xq, ((0, 0), (pad, pad), (pad, wp - w_ - pad), (0, 0)))
+    taps_np = plan.taps
+    xs_arr = xs.reshape(1, 1)
+
+    def kernel_fn(rows_ref, xsc_ref, vals_ref, wsc_ref, xp_hbm, y_ref,
+                  xg, sem):
+        ij = pl.program_id(0)
+        jb = pl.program_id(1)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+
+        def gather(s, _):
+            kblk = rows_ref[jb, s]
+            cp = pltpu.make_async_copy(
+                xp_hbm.at[
+                    nb,
+                    pl.ds(hb * R, R + 2 * pad),
+                    pl.ds(0, wp),
+                    pl.ds(kblk * bk, bk),
+                ],
+                xg.at[:, :, pl.ds(s * bk, bk)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, S, gather, 0)
+        slab = xg[:]
+        parts = []
+        for t in range(T):
+            dy, dx = int(taps_np[t, 0]), int(taps_np[t, 1])
+            sl = jax.lax.slice(
+                slab, (dy, dx, 0), (dy + R, dx + w_, S * bk)
+            ).reshape(R * w_, S * bk)
+            parts.append(sl)
+        xmat = jnp.concatenate(parts, axis=1)          # (R*w, T*S*bk) int8
+        acc = jax.lax.dot_general(
+            xmat,
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (xsc_ref[0, 0] * wsc_ref[0, 0])
+        y_ref[:] = y.reshape(1, R, w_, bm).astype(y_ref.dtype)
+
+    nmb = plan.cout // bm
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R), nmb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # rows
+            pl.BlockSpec((1, 1), lambda ij, jb: (0, 0),
+                         memory_space=pltpu.SMEM),       # x scale
+            pl.BlockSpec((1, T * S * bk, bm), lambda ij, jb: (jb, 0, 0)),
+            pl.BlockSpec((1, 1, bm), lambda ij, jb: (jb, 0, 0)),  # w scales
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, bm),
+            lambda ij, jb: (ij // (h // R), ij % (h // R), 0, jb)
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2 * pad, wp, S * bk), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * nmb * T * S * bk * bm,
+            bytes_accessed=int(plan.vals.size)
+            + int(xp.size) * nmb
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(plan.rows, xs_arr, plan.vals, plan.w_scale, xp)
+    return y
