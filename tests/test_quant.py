@@ -97,3 +97,37 @@ def test_video_segmenter_calibrated(rng):
                          quantize=True, calib_frames=calib)
     out = seg.run(SyntheticFrames(2, (64, 64)), warmup=False)
     assert out["ids"].shape == (2, 64, 64)
+
+
+def test_video_segmenter_with_exec_plans(rng):
+    """Serving a pruned model through VideoSegmenter via exec_plans."""
+    from tpuseg.models.sparse_exec import build_sparse_plans
+    from tpuseg.ops.fold_bn import fold_bn as _fold
+    from tpuseg.sparsity import apply_masks
+    from tpuseg.sparsity.base import hwio_to_oihw, oihw_to_hwio
+    from tpuseg.sparsity.block import BlockConfig, prune_as_block
+    from tpuseg.video import SyntheticFrames, VideoSegmenter
+    import tpuseg.ops.sparse_conv as sc
+    import jax.experimental.pallas as pl
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = _fold(params, state, spec)
+    name = "layer.6.0.conv1.weight"
+    w = hwio_to_oihw(np.asarray(folded[name]))
+    m = prune_as_block(
+        w, BlockConfig(0.875, 128, 128, -1, -1, collapse_tensor=False))
+    masks = {name: oihw_to_hwio(m).astype(np.float32)}
+    masked = apply_masks(folded, masks)
+    plans, _ = build_sparse_plans(masked, masks, spec)
+    assert plans
+
+    orig = pl.pallas_call
+    sc.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        seg = VideoSegmenter(dict(masked), {}, spec, [0.29, 0.33, 0.29],
+                             [0.18, 0.19, 0.18], compute_dtype=None, batch=2,
+                             fold_batchnorm=False, exec_plans=plans)
+        out = seg.run(SyntheticFrames(2, (64, 64)), warmup=False)
+    finally:
+        sc.pl.pallas_call = orig
+    assert out["ids"].shape == (2, 64, 64)

@@ -127,7 +127,14 @@ class VideoSegmenter:
         target_size: tuple[int, int] | None = None,
         quantize: bool = False,
         calib_frames=None,
+        exec_plans=None,
     ):
+        # ``exec_plans`` serves a compressed model: a per-conv execution
+        # plan dict from tpuseg.models.sparse_exec.build_sparse_plans
+        # (block-sparse Pallas kernels), optionally lifted to int8 with
+        # quantize_sparse_plans, and/or tpuseg.ops.quant.build_quant_plans.
+        # With ``quantize=True`` the remaining dense eligible convs are
+        # PTQ-quantized and merged in.
         # ``quantize=True`` runs the MXU-roofline stages (4-8) in int8
         # (symmetric PTQ, per-channel weight scales — tpuseg.ops.quant).
         # Activation scales are dynamic (in-graph absmax) by default;
@@ -180,7 +187,8 @@ class VideoSegmenter:
                     stem_fn = PolyphaseFrontend(
                         params, dtype=stem_dtype, normalize=(mean, std))
                     stem_stages = 3
-        exec_plans = None
+        user_plans = dict(exec_plans) if exec_plans else None
+        exec_plans = user_plans
         if quantize:
             from tpuseg.ops.quant import build_quant_plans, calibrate_scales
 
@@ -199,6 +207,9 @@ class VideoSegmenter:
                     compute_dtype=compute_dtype, stem_fn=stem_fn,
                     stem_stages=stem_stages if stem_fn is not None else 1)
                 exec_plans = build_quant_plans(params, spec, x_scales=scales)
+            if user_plans:
+                # user plans (e.g. sparse kernels) take precedence per conv
+                exec_plans = {**exec_plans, **user_plans}
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
         self.spec = spec
