@@ -346,3 +346,34 @@ def test_grouping_block_diagonal():
     flat = oihw.reshape(8, -1)
     assert oihw[0, 0].sum() == 3 and oihw[0, 4].sum() == 0
     assert m.sum() == 8 * 2 * 1 * 3
+
+
+@pytest.mark.slow
+def test_all_shipped_configs_apply():
+    """Every shipped optimal_configs JSON generates masks at the advertised
+    sparsity — except drn_d_22_1024X768_0.00_87.50.json, whose layer.1
+    inner pattern (4x8 at d=1) violates the reference generator's own
+    lift-count constraint (SRMBRepMasker.py:109)."""
+    import glob
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.sparsity import create_masker
+
+    bad = "drn_d_22_1024X768_0.00_87.50.json"
+    seen = 0
+    for arch in ("drn_d_22", "drn_d_54"):
+        params, _state, _spec = init_drnseg(0, arch, 19)
+        for f in sorted(glob.glob(
+                f"/root/reference/optimal_configs/{arch}/*.json")):
+            seen += 1
+            if f.endswith(bad):
+                with pytest.raises(AssertionError, match="lift count"):
+                    create_masker(f, seed=0).generate_masks(
+                        params, is_static=True)
+                continue
+            masks = create_masker(f, seed=0).generate_masks(
+                params, is_static=True)
+            want = float(f.rsplit("_", 1)[1][:-5]) / 100.0
+            got = 1 - np.mean([v.mean() for v in masks.values()])
+            assert abs(got - want) < 0.02, (f, got, want)
+    assert seen == 12

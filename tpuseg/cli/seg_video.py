@@ -41,6 +41,12 @@ def parse_args(argv=None):
                         "weight scales; tpuseg.ops.quant).  Changes "
                         "numerics — ids typically agree with bf16 on "
                         ">99%% of pixels")
+    p.add_argument("--pr-config-path", default=None,
+                   help="serve a PRUNED model: generate masks from this "
+                        "reference-schema JSON pruner config (e.g. "
+                        "optimal_configs/drn_d_22/*.json), apply them, and "
+                        "execute eligible layers via the block-sparse "
+                        "Pallas kernels (int8 kernels with --quantize)")
     p.add_argument("--calibrate", type=int, default=0, metavar="N",
                    help="with --quantize: calibrate static activation "
                         "scales on the first N frames (removes the "
@@ -98,6 +104,27 @@ def main(argv=None):
     std = [float(v) for v in args.std.split(",")]
 
     params, state, spec = load_model(args)
+    exec_plans = None
+    if args.pr_config_path:
+        from tpuseg.models.sparse_exec import (
+            build_sparse_plans,
+            quantize_sparse_plans,
+        )
+        from tpuseg.ops.fold_bn import fold_bn
+        from tpuseg.sparsity import apply_masks, create_masker
+
+        masker = create_masker(args.pr_config_path, seed=0)
+        masks = masker.generate_masks(params, is_static=True, verbose=False)
+        params = dict(apply_masks(params, masks))
+        # plans are packed from the BN-folded masked weights — the same
+        # values VideoSegmenter's own fold produces from (params, state)
+        folded = fold_bn(params, state, spec)
+        exec_plans, report = build_sparse_plans(folded, masks, spec)
+        if args.quantize:
+            exec_plans = quantize_sparse_plans(exec_plans)
+        n_sparse = sum(1 for v in report.values() if not v.startswith("dense"))
+        print(json.dumps({"event": "sparse_plans", "lowered": n_sparse,
+                          "total_masked": len(report)}))
     calib = None
     if args.quantize and args.calibrate > 0:
         if not os.path.exists(args.video):
@@ -117,6 +144,7 @@ def main(argv=None):
         target_size=None if args.host_resize else (h, w),
         quantize=args.quantize,
         calib_frames=calib,
+        exec_plans=exec_plans,
     )
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")

@@ -86,6 +86,13 @@ class Masker:
         rng = np.random.default_rng(self.seed)
         masks: dict[str, np.ndarray] = {}
         for layer, cfg in self.layer_configs.items():
+            if layer not in params and layer.startswith("module."):
+                # several shipped optimal_configs target DataParallel-
+                # wrapped state_dict names ("module.layer...") — the
+                # reference's models carry that prefix at generate time
+                # (semantic_seg.py:809-815); strip it like the checkpoint
+                # importer does (tpuseg.models.torch_import)
+                layer = layer[len("module."):]
             if layer not in params:
                 raise KeyError(
                     f"mask config targets unknown layer {layer!r}; "
