@@ -91,3 +91,32 @@ def test_sweeper_dry_run(tmp_path, capsys):
     layers = [c["layer_set"][0] for c in cfg["configs"]]
     assert "layer.0.0.weight" not in layers  # first conv excluded
     assert all(not l.startswith(("seg", "up", "fc")) for l in layers)
+
+
+@pytest.mark.slow
+def test_seg_video_pruned_serving(capsys):
+    """seg_video --pr-config-path: reference-schema config -> masks ->
+    (plans or dense-masked) serving.  Fine RBGP blocklets coarsen to dense
+    (documented), so this runs on CPU without Pallas kernels."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    video = "/root/reference/sample.mp4"
+    if not os.path.exists(video):
+        _pytest.skip("reference sample video absent")
+
+    from tpuseg.cli.seg_video import main
+
+    main([
+        "--video", video, "--size", "64x64", "--frames", "4",
+        "--batch", "2", "--pr-config-path",
+        "/root/reference/optimal_configs/drn_d_22/"
+        "drn_d_22_512X512_0.00_50.00.json",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    plans_line = _json.loads(out[-2])
+    result = _json.loads(out[-1])
+    assert plans_line["total_masked"] == 24
+    assert result["frames"] == 4
