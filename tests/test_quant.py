@@ -131,3 +131,18 @@ def test_video_segmenter_with_exec_plans(rng):
     finally:
         sc.pl.pallas_call = orig
     assert out["ids"].shape == (2, 64, 64)
+
+
+def test_calibration_non_multiple_of_8_size(rng):
+    """--quantize --calibrate at sizes the polyphase stem rejects (e.g.
+    the reference's default 300x300) must calibrate on the non-stem path
+    instead of crashing (review finding)."""
+    from tpuseg.video import SyntheticFrames, VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    calib = list(SyntheticFrames(2, (36, 36)))  # 36 % 8 != 0
+    seg = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                         [0.18, 0.19, 0.18], compute_dtype=None, batch=2,
+                         quantize=True, calib_frames=calib)
+    out = seg.run(SyntheticFrames(2, (36, 36)), warmup=False)
+    assert out["ids"].shape == (2, 36, 36)

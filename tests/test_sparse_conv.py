@@ -153,9 +153,12 @@ def test_plan_rows_per_tile_is_honored():
     ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=1, padding=0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
-    # an explicit override still wins (and R=4 does not divide h=6 -> assert)
-    with pytest.raises(AssertionError):
-        fused_sparse_conv_apply(x, plan, rows_per_tile=4)
+    # an explicit override that does not divide h falls back to the largest
+    # dividing tile height (odd feature grids, e.g. 300x300 inputs) and
+    # still computes the right answer
+    y2 = fused_sparse_conv_apply(x, plan, rows_per_tile=4)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_int8_fused_sparse_conv_matches_masked_dense():

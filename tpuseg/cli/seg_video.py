@@ -106,10 +106,7 @@ def main(argv=None):
     params, state, spec = load_model(args)
     exec_plans = None
     if args.pr_config_path:
-        from tpuseg.models.sparse_exec import (
-            build_sparse_plans,
-            quantize_sparse_plans,
-        )
+        from tpuseg.models.sparse_exec import build_sparse_plans
         from tpuseg.ops.fold_bn import fold_bn
         from tpuseg.sparsity import apply_masks, create_masker
 
@@ -117,11 +114,11 @@ def main(argv=None):
         masks = masker.generate_masks(params, is_static=True, verbose=False)
         params = dict(apply_masks(params, masks))
         # plans are packed from the BN-folded masked weights — the same
-        # values VideoSegmenter's own fold produces from (params, state)
+        # values VideoSegmenter's own fold produces from (params, state).
+        # With --quantize, VideoSegmenter lifts these to the int8 sparse
+        # kernels itself (after calibration, so static scales reach them).
         folded = fold_bn(params, state, spec)
         exec_plans, report = build_sparse_plans(folded, masks, spec)
-        if args.quantize:
-            exec_plans = quantize_sparse_plans(exec_plans)
         n_sparse = sum(1 for v in report.values() if not v.startswith("dense"))
         print(json.dumps({"event": "sparse_plans", "lowered": n_sparse,
                           "total_masked": len(report)}))

@@ -29,6 +29,11 @@ def pad_reflection(image: np.ndarray, top, bottom, left, right) -> np.ndarray:
     if top == bottom == left == right == 0:
         return image
     h, w = image.shape[:2]
+    if (h == 1 and (top or bottom)) or (w == 1 and (left or right)):
+        # edge-excluding reflection of a 1-pixel dimension has nothing to
+        # reflect; the reference recurses forever here — fail loudly
+        raise ValueError(
+            f"cannot reflect-pad a 1-pixel dimension (shape {image.shape})")
     next_top = next_bottom = next_left = next_right = 0
     if top > h - 1:
         next_top, top = top - h + 1, h - 1

@@ -532,8 +532,6 @@ def _conv_maybe_bn(
                 x, plan, cdef.stride, cdef.dilation, cdef.padding
             ).astype(out_dtype)
         else:
-            from tpuseg.models.sparse_exec import CompactSparse
-            from tpuseg.ops.quant import QuantConv
             from tpuseg.ops.sparse_conv import (
                 FusedSparseConvQ,
                 fused_sparse_conv_apply_q,
@@ -541,9 +539,7 @@ def _conv_maybe_bn(
 
             if isinstance(plan, FusedSparseConvQ):
                 x = fused_sparse_conv_apply_q(x, plan).astype(out_dtype)
-            elif isinstance(plan, (CompactSparse, QuantConv)) or hasattr(
-                plan, "apply"
-            ):
+            elif hasattr(plan, "apply"):
                 # CompactSparse(Q), int8 QuantConv, calibration probes
                 x = plan.apply(x).astype(out_dtype)
             else:

@@ -89,9 +89,10 @@ def build_quant_plans(
 ) -> dict[str, QuantConv]:
     """Quantize the eligible convs of a (BN-folded) DRN param dict.
 
-    Eligible: stride-1 KxK convs in ``stages`` with >= ``min_channels``
-    in/out channels — the MXU-roofline layers where int8's 2x rate pays
-    (stages 5-8 plus stage 4's stride-1 convs: 151.8 -> 153.8 fps).
+    Eligible: stride-1 convs (3x3 and the bottleneck 1x1s) in ``stages``
+    with >= ``min_channels`` in/out channels — the MXU-roofline layers
+    where int8's 2x rate pays (stages 5-8 plus stage 4: 151.8 -> 153.8
+    fps on drn_d_22).
     The low-channel frontend and the seg head stay bf16 (layout-bound and
     accuracy-critical respectively).  ``x_scales`` (from
     ``calibrate_scales``) switches layers to static activation scales.
@@ -99,7 +100,7 @@ def build_quant_plans(
     plans: dict[str, QuantConv] = {}
 
     def consider(cdef):
-        if cdef.stride != 1 or cdef.kernel < 1:
+        if cdef.stride != 1:
             return
         w = np.asarray(params[f"{cdef.name}.weight"], np.float32)
         if w.shape[2] < min_channels or w.shape[3] < min_channels:

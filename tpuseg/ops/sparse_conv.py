@@ -272,6 +272,10 @@ def fused_sparse_conv_apply(
     T = k * k
     S, bk, bm = plan.s, plan.bk, plan.bm
     R = plan.rows_per_tile if rows_per_tile is None else rows_per_tile
+    while R > 1 and h % R:
+        # odd feature grids (e.g. 300x300 inputs -> 38-row stride-8 grid)
+        # fall back to the largest tile height that divides h
+        R -= 1
     assert h % R == 0, (h, R)
     wp_est = -(-(w_ + 2 * pad) // 8) * 8
     itemsize = jnp.dtype(plan.vals.dtype).itemsize
@@ -630,6 +634,8 @@ def fused_sparse_conv_apply_q(
     T = k * k
     S, bk, bm = plan.s, plan.bk, plan.bm
     R = plan.rows_per_tile if rows_per_tile is None else rows_per_tile
+    while R > 1 and h % R:
+        R -= 1  # odd feature grids: largest dividing tile height
     assert h % R == 0, (h, R)
     if plan.x_scale is None:
         absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))

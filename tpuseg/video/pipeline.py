@@ -193,22 +193,40 @@ class VideoSegmenter:
             from tpuseg.ops.quant import build_quant_plans, calibrate_scales
 
             exec_plans = build_quant_plans(params, spec)
+            scales = None
             if calib_frames is not None and len(calib_frames) and exec_plans:
                 arr = np.stack([np.asarray(f) for f in calib_frames])
-                if stem_fn is not None:
+                # the polyphase stem needs dims divisible by 8 (same gate
+                # the serving program applies); otherwise calibrate on the
+                # normalized non-stem path
+                use_stem = (stem_fn is not None
+                            and arr.shape[1] % 8 == 0
+                            and arr.shape[2] % 8 == 0)
+                if use_stem:
                     # the frontend owns normalization; feed raw flat bytes
-                    batch0 = arr.reshape(arr.shape[0], arr.shape[1], -1)
+                    cal = arr.reshape(arr.shape[0], arr.shape[1], -1)
                 else:
-                    batch0 = ((arr.astype(np.float32) / 255.0
-                               - np.asarray(mean, np.float32))
-                              / np.asarray(std, np.float32))
+                    cal = ((arr.astype(np.float32) / 255.0
+                            - np.asarray(mean, np.float32))
+                           / np.asarray(std, np.float32))
+                # chunk to the serving batch size: one big batch at full
+                # resolution can exceed HBM (activations scale with N)
+                batches = [cal[i:i + batch] for i in range(0, len(cal), batch)]
                 scales = calibrate_scales(
-                    params, bn_state, spec, [batch0], plans=exec_plans,
-                    compute_dtype=compute_dtype, stem_fn=stem_fn,
-                    stem_stages=stem_stages if stem_fn is not None else 1)
+                    params, bn_state, spec, batches, plans=exec_plans,
+                    compute_dtype=compute_dtype,
+                    stem_fn=stem_fn if use_stem else None,
+                    stem_stages=stem_stages if use_stem else 1)
                 exec_plans = build_quant_plans(params, spec, x_scales=scales)
             if user_plans:
-                # user plans (e.g. sparse kernels) take precedence per conv
+                # lift the user's sparse plans to int8 too (no-op for plan
+                # kinds without a quantized lowering or already-quantized
+                # ones), with the calibrated scales when available; user
+                # plans take precedence per conv
+                from tpuseg.models.sparse_exec import quantize_sparse_plans
+
+                user_plans = quantize_sparse_plans(user_plans,
+                                                   x_scales=scales)
                 exec_plans = {**exec_plans, **user_plans}
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
@@ -237,6 +255,7 @@ class VideoSegmenter:
                     frames_u8.astype(jnp.float32),
                     (frames_u8.shape[0], th, tw, 3),
                     method="bilinear",
+                    antialias=False,  # cv2.INTER_LINEAR does not antialias
                 )
                 frames_u8 = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
                 frames_u8 = frames_u8.reshape(frames_u8.shape[0], th, tw * 3)
@@ -349,7 +368,7 @@ class VideoSegmenter:
         def collect(flight):
             (ids, color, overlay), n, t0, frames_host = flight
             ids = np.asarray(ids)  # forces completion (device->host)
-            if not need_color and not self.device_outputs:
+            if not need_color:
                 color = None
             elif self.device_outputs:
                 color = np.asarray(overlay if self.want_overlay else color)
