@@ -338,7 +338,6 @@ class VideoSegmenter:
         n_done = 0
         pending = []
         first = True
-        in_flight = None  # (device results, n_valid, t_submit)
         t_wall0 = None
 
         def submit(buf):
@@ -363,6 +362,16 @@ class VideoSegmenter:
             if t_wall0 is None:
                 t_wall0 = t0
             results = self._program(self.params, self.bn_state, jnp.asarray(arr))
+            # start the device->host copies NOW so they overlap the next
+            # batch's upload/compute (measured 19 -> 24 fps end-to-end on
+            # the tunneled dev chip at depth 2)
+            try:
+                results[0].copy_to_host_async()
+                if need_color and self.device_outputs:
+                    (results[2] if self.want_overlay
+                     else results[1]).copy_to_host_async()
+            except AttributeError:
+                pass  # older jax Array without async host copies
             return results, arr.shape[0] - pad, t0, frames_host
 
         def collect(flight):
@@ -398,28 +407,27 @@ class VideoSegmenter:
             fps_meter.tick()
             return n
 
+        DEPTH = 2  # batches in flight; depth 2 overlaps D2H with compute
+        flights = []
+
+        def n_flight():
+            return sum(f[1] for f in flights)
+
         for frame in it:
             pending.append(frame)
             if len(pending) == self.batch:
-                flight = submit(pending)
+                flights.append(submit(pending))
                 pending = []
-                if in_flight is not None:
-                    n_done += collect(in_flight)
-                in_flight = flight
-            if max_frames is not None and n_done + (
-                in_flight[1] if in_flight else 0
-            ) >= max_frames:
+                if len(flights) > DEPTH:
+                    n_done += collect(flights.pop(0))
+            if max_frames is not None and n_done + n_flight() >= max_frames:
                 break
         if pending and (
-            max_frames is None
-            or n_done + (in_flight[1] if in_flight else 0) < max_frames
+            max_frames is None or n_done + n_flight() < max_frames
         ):
-            flight = submit(pending)
-            if in_flight is not None:
-                n_done += collect(in_flight)
-            in_flight = flight
-        if in_flight is not None:
-            n_done += collect(in_flight)
+            flights.append(submit(pending))
+        while flights:
+            n_done += collect(flights.pop(0))
 
         # wall clock from first submit to last collect: with one-deep
         # pipelining the per-batch intervals overlap, so summing them would
