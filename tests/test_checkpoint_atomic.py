@@ -1,0 +1,69 @@
+"""Crash-safety of checkpoint writes.
+
+The reference torch.saves over the target path (semantic_seg.py:286-290), so
+a preemption mid-save corrupts the checkpoint and the SLURM resubmit dies on
+resume.  tpuseg writes to a temp file and os.replace()s it; SIGKILL at any
+moment must leave a loadable checkpoint.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from tpuseg.train import load_checkpoint
+
+WRITER = r"""
+import sys
+import numpy as np
+from tpuseg.train import save_checkpoint
+
+path = sys.argv[1]
+# ~64MB of params so a save takes long enough to be killed mid-write
+params = {f"layer{i}.weight": np.full((1024, 1024), float(i), np.float32)
+          for i in range(16)}
+bn = {"bn.mean": np.zeros(8, np.float32)}
+i = 0
+while True:
+    i += 1
+    save_checkpoint(path, params, bn, meta={"epoch": i})
+    print(i, flush=True)
+"""
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_kill9_mid_save_leaves_loadable_checkpoint(tmp_path):
+    path = str(tmp_path / "ckpt" / "checkpoint.npz")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", WRITER, path],
+        stdout=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        # wait until at least one full save has landed, then kill mid-loop
+        first = proc.stdout.readline()
+        assert first.strip(), "writer produced no output"
+        time.sleep(0.05 + 0.1 * np.random.default_rng(0).random())
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert os.path.exists(path), "a completed save must persist"
+    params, bn, _, _, meta = load_checkpoint(path)  # must not raise
+    assert meta["epoch"] >= 1
+    assert params["layer3.weight"].shape == (1024, 1024)
+    np.testing.assert_array_equal(
+        params["layer3.weight"], np.full((1024, 1024), 3.0, np.float32)
+    )
+    # a fresh save over any leftover temp file must succeed
+    from tpuseg.train import save_checkpoint
+
+    save_checkpoint(path, params, bn, meta={"epoch": meta["epoch"] + 1})
+    assert load_checkpoint(path)[4]["epoch"] == meta["epoch"] + 1

@@ -120,3 +120,25 @@ def test_seg_video_pruned_serving(capsys):
     result = _json.loads(out[-1])
     assert plans_line["total_masked"] == 24
     assert result["frames"] == 4
+
+
+@pytest.mark.slow
+def test_baseline_trainer_converges(mini_cityscapes, tmp_path, capsys):
+    """2-epoch semseg_baseline run on the fabricated dataset: the train
+    loss must decrease (closes the one CLI that was only smoke-driven)."""
+    from tpuseg.cli.semseg_baseline import main as baseline_main
+
+    save = str(tmp_path / "base")
+    baseline_main([
+        "train", "-d", str(mini_cityscapes), "-s", "32",
+        "--arch", "drn_d_22", "--batch-size", "2", "--epochs", "2",
+        "--lr", "0.02", "--dtype", "float32", "--save-dir", save,
+        "--eval-every", "2",
+    ])
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{") and "train_loss" in l
+    ]
+    assert len(lines) == 2
+    assert lines[1]["train_loss"] < lines[0]["train_loss"], lines
+    assert os.path.exists(os.path.join(save, "checkpoint.npz"))

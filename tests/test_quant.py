@@ -2,6 +2,7 @@
 sanity vs the bf16 path, calibration, CLI wiring."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -146,3 +147,61 @@ def test_calibration_non_multiple_of_8_size(rng):
                          quantize=True, calib_frames=calib)
     out = seg.run(SyntheticFrames(2, (36, 36)), warmup=False)
     assert out["ids"].shape == (2, 36, 36)
+
+
+def test_cls_quant_plans_close(rng):
+    """Classifier-side int8 serving (VERDICT r2 #9): cifar_resnet20 routed
+    through per-layer QuantConv plans tracks the float forward."""
+    import jax.numpy as jnp
+
+    from tpuseg.models.cifar import cifar_forward, create_cifar_model
+    from tpuseg.ops.quant import build_cls_quant_plans
+
+    params, state, spec = create_cifar_model(0, "cifar_resnet20", 10)
+    plans = build_cls_quant_plans(params)
+    # every non-stem conv has >=16 in/out channels -> all eligible
+    assert len(plans) >= 20
+    assert "conv1" not in plans  # 3-channel stem excluded
+    x = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
+    ref = np.asarray(cifar_forward(params, state, x, spec)[0])
+    q = np.asarray(cifar_forward(params, state, x, spec, plans=plans)[0])
+    assert ref.shape == q.shape == (8, 10)
+    # int8 changes numerics but must stay close on random weights
+    assert float(np.abs(ref - q).max()) < 0.15 * float(np.abs(ref).max())
+
+
+def test_cls_quant_plans_tvresnet(rng):
+    """Plan dispatch also covers the torchvision-style family (resnet18
+    shape, stride-2 call sites skip their plans)."""
+    import jax.numpy as jnp
+
+    from tpuseg.models.cifar import cifar_forward, create_cifar_model
+    from tpuseg.ops.quant import build_cls_quant_plans
+
+    params, state, spec = create_cifar_model(0, "cifar_resnet18", 10)
+    plans = build_cls_quant_plans(params, min_channels=64)
+    assert plans
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    ref = np.asarray(cifar_forward(params, state, x, spec)[0])
+    q = np.asarray(cifar_forward(params, state, x, spec, plans=plans)[0])
+    assert np.isfinite(q).all()
+    assert float(np.abs(ref - q).max()) < 0.2 * float(np.abs(ref).max())
+
+
+@pytest.mark.slow
+def test_rmbsnn_evaluate_quantize(tmp_path, capsys):
+    """CLI: --evaluate --quantize reports float + int8 top-1 and agreement."""
+    import json as _json
+
+    from tpuseg.cli.rmbsnn import main as cls_main
+
+    cls_main([
+        "--dataset", "synthetic", "--synthetic-n", "64", "--batch-size", "32",
+        "--arch", "cifar_resnet20", "--evaluate", "--quantize",
+        "--save-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    blob = _json.loads(out[-1])
+    assert "acc1" in blob and "int8_acc1" in blob
+    assert blob["int8_layers"] >= 20
+    assert 0.0 <= blob["pred_agreement"] <= 1.0

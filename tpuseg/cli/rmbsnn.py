@@ -6,8 +6,10 @@ dispatch (:246-271), static rejig re-init (:360-385), per-step mask re-apply
 (:483-484), top-1/5 validation, rank-0 checkpointing, step LR decay
 (adjust_learning_rate :600-639).
 
-TPU-native: one jitted train step on a data-parallel mesh; no mp.spawn — a
-single process drives all local devices.
+TPU-native: one jitted train step compiled over a data-parallel
+``jax.sharding.Mesh`` (all local devices; all global devices under
+--num-processes, replacing mp.spawn + DDP/NCCL — rmbsnn_main.py:143-152,
+162-238 — with XLA collectives over ICI/DCN).
 """
 
 from __future__ import annotations
@@ -46,10 +48,24 @@ def parse_args(argv=None):
     p.add_argument("--rejig", action="store_true")
     p.add_argument("--resume", default=None)
     p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--quantize", action="store_true",
+                   help="with --evaluate: also evaluate an int8 PTQ serving "
+                        "copy (per-layer QuantConv plans; tpuseg.ops.quant) and "
+                        "report its top-1/5, wall time, and prediction "
+                        "agreement vs the float path")
     p.add_argument("--save-dir", default="runs/cls")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
     p.add_argument("--synthetic-n", type=int, default=256)
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="cap the data-parallel mesh at N local devices "
+                        "(0 = all local devices whose count divides the batch)")
+    # multi-host init (replaces --world-size/--rank/--dist-url,
+    # rmbsnn_main.py:93-101; NCCL becomes XLA-over-ICI/DCN)
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for multi-host runs")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -81,6 +97,19 @@ def load_into(params, state, path):
 
 def main(argv=None):
     args = parse_args(argv)
+    from tpuseg.parallel import configure_backend_from_env
+
+    configure_backend_from_env()
+    if args.num_processes and args.num_processes > 1:
+        if args.coordinator is None or args.process_id is None:
+            raise SystemExit(
+                "--num-processes > 1 requires --coordinator host:port and "
+                "--process-id"
+            )
+        from tpuseg.parallel import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+
     import jax
     import jax.numpy as jnp
 
@@ -169,27 +198,102 @@ def main(argv=None):
             step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32),
         )
 
-    step_fn = jax.jit(make_cls_train_step(
+    # data-parallel mesh (replaces DDP wrap + per-GPU batch division,
+    # rmbsnn_main.py:215-228)
+    from tpuseg.parallel import (
+        put_global_batch,
+        replicate,
+        setup_data_parallel,
+        shard_train_step,
+    )
+
+    mesh, _repl_sharding, data_sharding, local_bs = setup_data_parallel(
+        args.batch_size, args.mesh_devices
+    )
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    is_main = pid == 0
+    if is_main and (mesh.devices.size > 1 or n_proc > 1):
+        print(json.dumps({
+            "mesh": {"data": int(mesh.devices.size), "processes": n_proc,
+                     "local_batch": local_bs, "global_batch": args.batch_size},
+        }))
+    ts = replicate(mesh, ts)
+    step_fn = shard_train_step(make_cls_train_step(
         spec, tx, compute_dtype=compute_dtype, teacher=teacher,
         kd_student_wt=args.kd_student_wt, kd_distill_wt=args.kd_distill_wt,
         kd_temperature=args.kd_temperature,
-    ))
+    ), mesh)
+    data_put = lambda x: put_global_batch(data_sharding, x)  # noqa: E731
     fwd = classifier_forward(spec, compute_dtype)
     eval_fwd = jax.jit(lambda p, s, x: fwd(p, s, x, train=False)[0])
 
-    def validate():
+    def collect_logits(fwd_jit):
+        if n_proc > 1:
+            eval_params = jax.tree.map(np.asarray, ts.params)
+            eval_bn = jax.tree.map(np.asarray, ts.bn_state)
+        else:
+            eval_params, eval_bn = ts.params, ts.bn_state
         logits_all, labels_all = [], []
-        for images, labels in prefetch_to_device(batch_iterator(val_ds, args.batch_size)):
-            logits_all.append(np.asarray(eval_fwd(ts.params, ts.bn_state, images)))
+        for images, labels in prefetch_to_device(
+            # drop_last under multi-process so every process contributes the
+            # same shard size (process_allgather needs equal shapes)
+            batch_iterator(val_ds, local_bs, num_shards=n_proc,
+                           shard_index=pid, drop_last=n_proc > 1)
+        ):
+            logits_all.append(np.asarray(fwd_jit(eval_params, eval_bn, images)))
             labels_all.append(np.asarray(labels))
         logits = np.concatenate(logits_all)
         labels = np.concatenate(labels_all)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            logits = np.concatenate(multihost_utils.process_allgather(logits))
+            labels = np.concatenate(multihost_utils.process_allgather(labels))
+        return logits, labels
+
+    def validate():
+        logits, labels = collect_logits(eval_fwd)
         top1, top5 = top_k_accuracy(logits, labels, topk=(1, min(5, classes)))
         return top1, top5
 
     if args.evaluate:
-        top1, top5 = validate()
-        print(json.dumps({"acc1": round(top1, 3), "acc5": round(top5, 3)}))
+        t0 = time.time()
+        logits, labels = collect_logits(eval_fwd)
+        t_fp = time.time() - t0
+        top1, top5 = top_k_accuracy(logits, labels, topk=(1, min(5, classes)))
+        out = {"acc1": round(top1, 3), "acc5": round(top5, 3),
+               "seconds": round(t_fp, 3)}
+        if args.quantize:
+            # int8 PTQ serving copy via the same per-layer exec-plan
+            # dispatch the seg pipeline uses (ref eval: rmbsnn_main.py:502-549)
+            from tpuseg.models.cifar import CifarSpec, cifar_forward
+            from tpuseg.models.drn import drn_forward
+            from tpuseg.ops.quant import build_cls_quant_plans, build_quant_plans
+
+            host_params = jax.tree.map(np.asarray, ts.params)
+            if isinstance(spec, CifarSpec):
+                plans = build_cls_quant_plans(host_params)
+                q_fwd = jax.jit(lambda p, s, x: cifar_forward(
+                    p, s, x, spec, train=False, compute_dtype=compute_dtype,
+                    plans=plans)[0])
+            else:
+                plans = build_quant_plans(host_params, spec)
+                q_fwd = jax.jit(lambda p, s, x: drn_forward(
+                    p, s, x, spec, train=False, compute_dtype=compute_dtype,
+                    sparse_plans=plans)[0])
+            t0 = time.time()
+            q_logits, q_labels = collect_logits(q_fwd)
+            t_q = time.time() - t0
+            q1, q5 = top_k_accuracy(q_logits, q_labels, topk=(1, min(5, classes)))
+            out.update({
+                "int8_acc1": round(q1, 3), "int8_acc5": round(q5, 3),
+                "int8_seconds": round(t_q, 3),
+                "int8_layers": len(plans),
+                "pred_agreement": round(float(
+                    (q_logits.argmax(-1) == logits.argmax(-1)).mean()), 4),
+            })
+        print(json.dumps(out))
         return
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -198,8 +302,9 @@ def main(argv=None):
         accs = AverageMeter("acc")
         t0 = time.time()
         for images, labels in prefetch_to_device(
-            batch_iterator(train_ds, args.batch_size, shuffle=True,
-                           drop_last=True, epoch=epoch)
+            batch_iterator(train_ds, local_bs, shuffle=True, drop_last=True,
+                           epoch=epoch, num_shards=n_proc, shard_index=pid),
+            put=data_put,
         ):
             ts, m = step_fn(ts, images, labels)
             losses.update(float(np.asarray(m["loss"])), len(labels))
@@ -207,18 +312,21 @@ def main(argv=None):
         top1, top5 = validate()
         is_best = top1 > best_acc1
         best_acc1 = max(best_acc1, top1)
-        save_checkpoint(
-            join(args.save_dir, "checkpoint.npz"),
-            ts.params, ts.bn_state, opt_state=ts.opt_state, masks=ts.masks,
-            meta={"epoch": epoch + 1, "arch": args.arch,
-                  "best_acc1": best_acc1, "dataset": args.dataset},
-            is_best=is_best,
-        )
-        print(json.dumps({
-            "epoch": epoch, "train_loss": round(losses.avg, 4),
-            "train_acc": round(accs.avg, 3), "acc1": round(top1, 3),
-            "acc5": round(top5, 3), "seconds": round(time.time() - t0, 2),
-        }))
+        # rank-0-only save, like the reference's DDP guard
+        # (rmbsnn_main.py:414-415)
+        if is_main:
+            save_checkpoint(
+                join(args.save_dir, "checkpoint.npz"),
+                ts.params, ts.bn_state, opt_state=ts.opt_state, masks=ts.masks,
+                meta={"epoch": epoch + 1, "arch": args.arch,
+                      "best_acc1": best_acc1, "dataset": args.dataset},
+                is_best=is_best,
+            )
+            print(json.dumps({
+                "epoch": epoch, "train_loss": round(losses.avg, 4),
+                "train_acc": round(accs.avg, 3), "acc1": round(top1, 3),
+                "acc5": round(top5, 3), "seconds": round(time.time() - t0, 2),
+            }))
 
 
 if __name__ == "__main__":

@@ -67,6 +67,10 @@ def parse_args(argv=None):
                         "(ref semseg_baseline.py:752)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="cap the data-parallel mesh at N local devices "
+                        "(0 = use all local devices whose count divides "
+                        "the batch; 1 = single-device)")
     p.add_argument("--num-shards", type=int, default=1, help="hosts")
     p.add_argument("--shard-index", type=int, default=0)
     # multi-host init (replaces --world-size/--rank/--dist-url/--dist-backend,
@@ -239,8 +243,36 @@ def cmd_train(args):
             step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32),
         )
 
-    step_fn = jax.jit(make_seg_train_step(spec, tx, compute_dtype=compute_dtype))
+    # Data-parallel mesh over the local (or, multi-process, global) devices —
+    # the reference reaches multi-device training via DataParallel
+    # (semantic_seg.py:809-815) or the DDP trainer
+    # (semantic_seg_multigpu.py:460-526); here the SAME jitted step runs on a
+    # jax.sharding.Mesh with the batch sharded on the 'data' axis and XLA
+    # inserting the gradient all-reduce over ICI/DCN.
+    from tpuseg.parallel import (
+        put_global_batch,
+        replicate,
+        setup_data_parallel,
+        shard_train_step,
+    )
+
+    mesh, repl_sharding, data_sharding, local_bs = setup_data_parallel(
+        args.batch_size, args.mesh_devices
+    )
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    is_main = pid == 0
+    if is_main and (mesh.devices.size > 1 or n_proc > 1):
+        print(json.dumps({
+            "mesh": {"data": int(mesh.devices.size), "processes": n_proc,
+                     "local_batch": local_bs, "global_batch": args.batch_size},
+        }))
+    ts = replicate(mesh, ts)
+    step_fn = shard_train_step(
+        make_seg_train_step(spec, tx, compute_dtype=compute_dtype), mesh
+    )
     eval_fn = jax.jit(make_eval_step(spec, "seg", compute_dtype=compute_dtype))
+    data_put = lambda x: put_global_batch(data_sharding, x)  # noqa: E731
 
     os.makedirs(args.save_dir, exist_ok=True)
     # persistent run logging: JSONL + TensorBoard event files with a
@@ -254,14 +286,14 @@ def cmd_train(args):
                  "crop_size": args.crop_size,
                  "pr_config": args.pr_config_path or "",
                  "unstructured": args.unstructured_sparsity},
-    )
+    ) if is_main else None
     best_miou = float(meta_resume.get("best_miou", 0.0))
 
     for epoch in range(start_epoch, args.epochs):
         losses = AverageMeter("loss")
         t_epoch = time.time()
         it = batch_iterator(
-            train_ds, args.batch_size, shuffle=True, drop_last=True,
+            train_ds, local_bs, shuffle=True, drop_last=True,
             epoch=epoch, num_shards=args.num_shards, shard_index=args.shard_index,
         )
         from tpuseg.metrics.profiling import trace
@@ -269,7 +301,7 @@ def cmd_train(args):
         # device trace of the first trained epoch when requested (the
         # TPU-native replacement for the reference's AverageMeter timing)
         with trace(args.profile_dir if epoch == start_epoch else None):
-            for images, labels in prefetch_to_device(it):
+            for images, labels in prefetch_to_device(it, put=data_put):
                 ts, m = step_fn(ts, images, labels)
                 losses.update(float(np.asarray(m["loss"])), len(images))
         line = {
@@ -279,17 +311,34 @@ def cmd_train(args):
             "lr": float(sched(int(np.asarray(ts.step)))),
         }
 
+        is_best = False
         if (epoch + 1) % args.eval_every == 0:
             hist = np.zeros((args.classes, args.classes), dtype=np.int64)
+            if n_proc > 1:
+                # each process evaluates its own shard locally (params are
+                # replicated, hence fully addressable), then one allgather
+                # merges the confusion matrices
+                eval_params = jax.tree.map(np.asarray, ts.params)
+                eval_bn = jax.tree.map(np.asarray, ts.bn_state)
+            else:
+                eval_params, eval_bn = ts.params, ts.bn_state
             for images, labels in prefetch_to_device(
-                batch_iterator(val_ds, args.batch_size)
+                batch_iterator(val_ds, local_bs,
+                               num_shards=args.num_shards,
+                               shard_index=args.shard_index)
             ):
-                _, preds = eval_fn(ts.params, ts.bn_state, images, labels)
+                _, preds = eval_fn(eval_params, eval_bn, images, labels)
                 hist += fast_hist(
                     np.asarray(preds).flatten(),
                     np.asarray(labels).flatten(),
                     args.classes,
                 )
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                hist = np.asarray(
+                    multihost_utils.process_allgather(hist)
+                ).sum(axis=0)
             miou = miou_from_hist(hist)
             line["val_miou"] = round(miou, 3)
             # reference baseline's independent pixel-accuracy report
@@ -301,6 +350,11 @@ def cmd_train(args):
                 )
             is_best = miou > best_miou
             best_miou = max(best_miou, miou)
+        # checkpoint EVERY epoch (the reference saves per-epoch too,
+        # semantic_seg.py:1085-1092; saving only at eval epochs would lose
+        # up to eval_every-1 epochs on preemption); writes are atomic
+        # (tmp + rename) so kill-mid-save leaves the previous file intact
+        if is_main:
             save_checkpoint(
                 join(args.save_dir, "checkpoint.npz"),
                 ts.params, ts.bn_state,
@@ -308,6 +362,14 @@ def cmd_train(args):
                 meta={"epoch": epoch + 1, "arch": args.arch,
                       "best_miou": best_miou, "dataset": "cityscapes"},
                 is_best=is_best,
+            )
+        if n_proc > 1 and os.environ.get("TPUSEG_SAVE_ALL_PROCS"):
+            # debug hook for the multi-host lockstep test: every process
+            # dumps its replica so the test can assert they are identical
+            save_checkpoint(
+                join(args.save_dir, f"replica_proc{pid}.npz"),
+                ts.params, ts.bn_state,
+                meta={"epoch": epoch + 1, "process": pid},
             )
         if masks is not None:
             # per-epoch pruner stats (pruner.print_stats each epoch,
@@ -321,9 +383,11 @@ def cmd_train(args):
             line["mean_weight_sparsity"] = round(
                 float(np.mean(list(weight_sparsity.values()))), 2
             )
-        print(json.dumps(line))
-        runlog.log(epoch, line)
-    runlog.close()
+        if is_main:
+            print(json.dumps(line))
+            runlog.log(epoch, line)
+    if runlog is not None:
+        runlog.close()
     return best_miou
 
 
@@ -447,7 +511,16 @@ def cmd_calc(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from tpuseg.parallel import configure_backend_from_env
+
+    configure_backend_from_env()
     if args.num_processes and args.num_processes > 1:
+        if args.coordinator is None or args.process_id is None:
+            raise SystemExit(
+                "--num-processes > 1 requires --coordinator host:port and "
+                "--process-id (one process per host, "
+                "jax.distributed.initialize semantics)"
+            )
         from tpuseg.parallel import initialize_distributed
 
         initialize_distributed(args.coordinator, args.num_processes, args.process_id)

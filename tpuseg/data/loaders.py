@@ -39,6 +39,12 @@ def batch_iterator(
     if shuffle:
         r = rng or np.random.default_rng(epoch)
         r.shuffle(order)
+    if num_shards > 1 and drop_last:
+        # equalize step counts across shards — otherwise hosts whose shard
+        # got one extra sample would run an extra collective step and hang
+        # (the reference's DistributedSampler pads for the same reason)
+        n_even = (n // (num_shards * batch_size)) * (num_shards * batch_size)
+        order = order[:n_even]
     order = order[shard_index::num_shards]
     end = len(order) - (len(order) % batch_size) if drop_last else len(order)
     for start in range(0, end, batch_size):
@@ -58,20 +64,24 @@ def prefetch_to_device(
     iterator: Iterable,
     size: int = 2,
     sharding=None,
+    put: Callable | None = None,
 ) -> Iterator:
     """Run the host iterator in a background thread, moving batches to device
-    (optionally with a NamedSharding) ``size`` steps ahead of compute."""
+    (optionally with a NamedSharding) ``size`` steps ahead of compute.
+
+    ``put`` overrides the array placement (e.g.
+    ``tpuseg.parallel.put_global_batch`` for multi-host global batches)."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
     error: list[BaseException] = []
+    if put is None:
+        put = lambda x: jax.device_put(x, sharding)  # noqa: E731
 
     def producer():
         try:
             for item in iterator:
                 moved = jax.tree.map(
-                    lambda x: jax.device_put(x, sharding)
-                    if isinstance(x, np.ndarray)
-                    else x,
+                    lambda x: put(x) if isinstance(x, np.ndarray) else x,
                     item,
                 )
                 q.put(moved)

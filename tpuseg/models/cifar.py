@@ -189,6 +189,22 @@ def linear(x, params, name, compute_dtype=None):
     return x @ w.T + b.astype(x.dtype)
 
 
+def _pconv(plans, params, cname, x, stride, dilation, padding, cd, groups=1):
+    """Plan-aware conv for the classifier zoo — the same per-layer
+    exec-plan dispatch the DRN serving path uses (drn._conv_maybe_bn):
+    a conv named in ``plans`` (int8 QuantConv, sparse exec plan, ...)
+    executes via its plan; others run the plain XLA conv.  Plans only
+    apply at stride-1/ungrouped call sites (a plan bakes stride 1)."""
+    plan = (plans or {}).get(cname)
+    if plan is not None and stride == 1 and groups == 1:
+        out_dtype = x.dtype if cd is None else cd
+        return plan.apply(x).astype(out_dtype)
+    return conv2d(
+        x, params[f"{cname}.weight"], stride, dilation, padding, cd,
+        groups=groups,
+    )
+
+
 def _maxpool2(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
@@ -251,10 +267,10 @@ def _init_cresnet(spec: CifarSpec, I: _Init):
     I.linear("fc", 64 * exp, spec.num_classes)
 
 
-def _fwd_cresnet(params, state, x, spec, train, cd, upd):
+def _fwd_cresnet(params, state, x, spec, train, cd, upd, plans=None):
     exp = 4 if "bottleneck" in spec.block else 1
     preact = spec.block.startswith("preact")
-    x = conv2d(x, params["conv1.weight"], 1, 1, 1, cd)
+    x = _pconv(plans, params, "conv1", x, 1, 1, 1, cd)
     if not preact:
         x = batch_norm(x, params, state, upd, "bn1", train)
         x = jax.nn.relu(x)
@@ -270,7 +286,7 @@ def _fwd_cresnet(params, state, x, spec, train, cd, upd):
                 out = jax.nn.relu(out)
                 residual = x
                 if has_ds:
-                    residual = conv2d(out, params[f"{name}.downsample.0.weight"], s, 1, 0, cd)
+                    residual = _pconv(plans, params, f"{name}.downsample.0", out, s, 1, 0, cd)
                     residual = batch_norm(
                         residual, params, state, upd, f"{name}.downsample.1", train
                     )
@@ -278,38 +294,38 @@ def _fwd_cresnet(params, state, x, spec, train, cd, upd):
                     # preact bottleneck: 1x1 conv1 is stride 1; the 3x3
                     # conv2 carries the stride (lmodels/cifar_resnet.py
                     # PreActBottleneck)
-                    out = conv2d(out, params[f"{name}.conv1.weight"], 1, 1, 0, cd)
+                    out = _pconv(plans, params, f"{name}.conv1", out, 1, 1, 0, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn2", train)
                     out = jax.nn.relu(out)
-                    out = conv2d(out, params[f"{name}.conv2.weight"], s, 1, 1, cd)
+                    out = _pconv(plans, params, f"{name}.conv2", out, s, 1, 1, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn3", train)
                     out = jax.nn.relu(out)
-                    out = conv2d(out, params[f"{name}.conv3.weight"], 1, 1, 0, cd)
+                    out = _pconv(plans, params, f"{name}.conv3", out, 1, 1, 0, cd)
                 else:
-                    out = conv2d(out, params[f"{name}.conv1.weight"], s, 1, 1, cd)
+                    out = _pconv(plans, params, f"{name}.conv1", out, s, 1, 1, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn2", train)
                     out = jax.nn.relu(out)
-                    out = conv2d(out, params[f"{name}.conv2.weight"], 1, 1, 1, cd)
+                    out = _pconv(plans, params, f"{name}.conv2", out, 1, 1, 1, cd)
                 x = out + residual
             else:
                 residual = x
                 if "bottleneck" in spec.block:
-                    out = conv2d(x, params[f"{name}.conv1.weight"], 1, 1, 0, cd)
+                    out = _pconv(plans, params, f"{name}.conv1", x, 1, 1, 0, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn1", train)
                     out = jax.nn.relu(out)
-                    out = conv2d(out, params[f"{name}.conv2.weight"], s, 1, 1, cd)
+                    out = _pconv(plans, params, f"{name}.conv2", out, s, 1, 1, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn2", train)
                     out = jax.nn.relu(out)
-                    out = conv2d(out, params[f"{name}.conv3.weight"], 1, 1, 0, cd)
+                    out = _pconv(plans, params, f"{name}.conv3", out, 1, 1, 0, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn3", train)
                 else:
-                    out = conv2d(x, params[f"{name}.conv1.weight"], s, 1, 1, cd)
+                    out = _pconv(plans, params, f"{name}.conv1", x, s, 1, 1, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn1", train)
                     out = jax.nn.relu(out)
-                    out = conv2d(out, params[f"{name}.conv2.weight"], 1, 1, 1, cd)
+                    out = _pconv(plans, params, f"{name}.conv2", out, 1, 1, 1, cd)
                     out = batch_norm(out, params, state, upd, f"{name}.bn2", train)
                 if has_ds:
-                    residual = conv2d(x, params[f"{name}.downsample.0.weight"], s, 1, 0, cd)
+                    residual = _pconv(plans, params, f"{name}.downsample.0", x, s, 1, 0, cd)
                     residual = batch_norm(
                         residual, params, state, upd, f"{name}.downsample.1", train
                     )
@@ -358,9 +374,9 @@ def _init_tvresnet(spec: CifarSpec, I: _Init):
     I.linear("fc", 512 * exp, spec.num_classes)
 
 
-def _fwd_tvresnet(params, state, x, spec, train, cd, upd):
+def _fwd_tvresnet(params, state, x, spec, train, cd, upd, plans=None):
     exp = 4 if spec.block == "bottleneck" else 1
-    x = conv2d(x, params["conv1.weight"], 1, 1, 1, cd)
+    x = _pconv(plans, params, "conv1", x, 1, 1, 1, cd)
     x = jax.nn.relu(batch_norm(x, params, state, upd, "bn1", train))
     for g, planes in enumerate([64, 128, 256, 512], start=1):
         stride = 1 if g == 1 else 2
@@ -369,21 +385,22 @@ def _fwd_tvresnet(params, state, x, spec, train, cd, upd):
             s = stride if b == 0 else 1
             residual = x
             if spec.block == "bottleneck":
-                out = conv2d(x, params[f"{name}.conv1.weight"], 1, 1, 0, cd)
+                out = _pconv(plans, params, f"{name}.conv1", x, 1, 1, 0, cd)
                 out = jax.nn.relu(batch_norm(out, params, state, upd, f"{name}.bn1", train))
-                out = conv2d(
-                    out, params[f"{name}.conv2.weight"], s, 1, 1, cd, groups=spec.groups
+                out = _pconv(
+                    plans, params, f"{name}.conv2", out, s, 1, 1, cd,
+                    groups=spec.groups,
                 )
                 out = jax.nn.relu(batch_norm(out, params, state, upd, f"{name}.bn2", train))
-                out = conv2d(out, params[f"{name}.conv3.weight"], 1, 1, 0, cd)
+                out = _pconv(plans, params, f"{name}.conv3", out, 1, 1, 0, cd)
                 out = batch_norm(out, params, state, upd, f"{name}.bn3", train)
             else:
-                out = conv2d(x, params[f"{name}.conv1.weight"], s, 1, 1, cd)
+                out = _pconv(plans, params, f"{name}.conv1", x, s, 1, 1, cd)
                 out = jax.nn.relu(batch_norm(out, params, state, upd, f"{name}.bn1", train))
-                out = conv2d(out, params[f"{name}.conv2.weight"], 1, 1, 1, cd)
+                out = _pconv(plans, params, f"{name}.conv2", out, 1, 1, 1, cd)
                 out = batch_norm(out, params, state, upd, f"{name}.bn2", train)
             if f"{name}.downsample.0.weight" in params:
-                residual = conv2d(x, params[f"{name}.downsample.0.weight"], s, 1, 0, cd)
+                residual = _pconv(plans, params, f"{name}.downsample.0", x, s, 1, 0, cd)
                 residual = batch_norm(
                     residual, params, state, upd, f"{name}.downsample.1", train
                 )
@@ -447,7 +464,12 @@ def _init_vgg(spec: CifarSpec, I: _Init):
         I.linear("classifier.3", f, spec.num_classes)
 
 
-def _fwd_vgg(params, state, x, spec, train, cd, upd):
+def _fwd_vgg(params, state, x, spec, train, cd, upd, plans=None):
+    if plans:
+        raise NotImplementedError(
+            "exec-plan dispatch covers the resnet families (cresnet/"
+            "tvresnet); vgg/rvgg serving plans are not wired"
+        )
     for kind, idx, cin, cout in _vgg_layout(spec):
         name = f"features.{idx}"
         if kind == "conv":
@@ -505,7 +527,12 @@ def _init_wrn(spec: CifarSpec, I: _Init):
     I.linear("linear", stages[3], spec.num_classes)
 
 
-def _fwd_wrn(params, state, x, spec, train, cd, upd):
+def _fwd_wrn(params, state, x, spec, train, cd, upd, plans=None):
+    if plans:
+        raise NotImplementedError(
+            "exec-plan dispatch covers the resnet families (cresnet/"
+            "tvresnet); wrn serving plans are not wired"
+        )
     k = spec.widen
     stages = [16, 16 * k, 32 * k, 64 * k]
     x = conv2d(x, params["conv1.weight"], 1, 1, 1, cd)
@@ -575,12 +602,20 @@ def cifar_forward(
     *,
     train: bool = False,
     compute_dtype: Any = None,
+    plans: dict | None = None,
 ) -> tuple[jax.Array, State]:
-    """Returns (logits, bn_updates).  x is NHWC."""
+    """Returns (logits, bn_updates).  x is NHWC.
+
+    ``plans`` routes named convs through per-layer execution plans
+    (int8 QuantConv / sparse kernels) — the classifier-side counterpart
+    of the DRNSeg serving dispatch (rmbsnn_main.py:502-549 is the
+    reference's eval path this serves)."""
     upd: State = {}
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    logits = _FWD[spec.family](params, state, x, spec, train, compute_dtype, upd)
+    logits = _FWD[spec.family](
+        params, state, x, spec, train, compute_dtype, upd, plans
+    )
     return logits, upd
 
 

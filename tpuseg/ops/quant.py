@@ -52,8 +52,14 @@ class QuantConv:
 
     def apply(self, x: jax.Array) -> jax.Array:
         if self.x_scale is None:
-            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-            x_scale = jnp.maximum(absmax, 1e-8) / 127.0
+            # dynamic scale PER FRAME (reduce over HWC only) so a frame's
+            # predictions never depend on which frames share its batch —
+            # including the replicated padding frames a short final batch
+            # gets (a whole-batch absmax would couple them)
+            absmax = jnp.max(
+                jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True
+            )
+            x_scale = jnp.maximum(absmax, 1e-8) / 127.0  # (N,1,1,1)
         else:
             x_scale = jnp.float32(self.x_scale)
         xq = jnp.clip(
@@ -130,6 +136,45 @@ def build_quant_plans(
     return plans
 
 
+def build_cls_quant_plans(
+    params,
+    *,
+    min_channels: int = 16,
+    x_scales: dict[str, float] | None = None,
+) -> dict[str, QuantConv]:
+    """Quantize the eligible convs of a CLASSIFIER param dict (the cifar/
+    tvresnet zoo) for ``cifar_forward(..., plans=...)`` dispatch — the
+    classifier-side compression-serving counterpart of ``build_quant_plans``
+    (reference eval path: rmbsnn_main.py:502-549).
+
+    Eligible: square 1x1/3x3 conv weights (HWIO) with >= ``min_channels``
+    in/out channels; padding is derived from the kernel ((k-1)//2) and
+    dilation is 1 — true for every conv in the zoo.  The 3-channel input
+    stem is excluded by the channel floor.  Stride is baked as 1; the
+    forward's dispatch skips plans at stride-2 call sites.
+    """
+    plans: dict[str, QuantConv] = {}
+    for key, w in params.items():
+        if not key.endswith(".weight"):
+            continue
+        w = np.asarray(w)
+        if w.ndim != 4 or w.shape[0] != w.shape[1] or w.shape[0] not in (1, 3):
+            continue
+        if w.shape[2] < min_channels or w.shape[3] < min_channels:
+            continue
+        name = key[: -len(".weight")]
+        wq, ws = quantize_weight(w.astype(np.float32))
+        plans[name] = QuantConv(
+            w_q=jnp.asarray(wq),
+            w_scale=jnp.asarray(ws),
+            stride=1,
+            dilation=1,
+            padding=(w.shape[0] - 1) // 2,
+            x_scale=(x_scales or {}).get(name),
+        )
+    return plans
+
+
 def calibrate_scales(
     params, state, spec, frames, *, plans: dict[str, QuantConv],
     compute_dtype=jnp.bfloat16, stem_fn=None, stem_stages: int = 1,
@@ -146,7 +191,12 @@ def calibrate_scales(
     153.8 -> 165.6 fps at 1024x2048 batch 8 on v5e."""
     from tpuseg.models.drn import drn_forward
 
-    recorded: list[tuple[str, jax.Array]] = []  # filled at trace time
+    # The probes record traced absmaxes into this dict while drn_forward is
+    # being traced; ``fwd`` then RETURNS the dict, making each absmax an
+    # explicit name-keyed output of the jitted function — the name->value
+    # association lives in the output pytree structure, not in trace-order
+    # side effects, so retraces/cache hits cannot mis-pair them.
+    recorded: dict[str, jax.Array] = {}
 
     class _Probe:
         """Plan that records its input absmax then runs the float conv."""
@@ -155,8 +205,7 @@ def calibrate_scales(
             self.name, self.plan = name, plan
 
         def apply(self, x):
-            recorded.append(
-                (self.name, jnp.max(jnp.abs(x.astype(jnp.float32)))))
+            recorded[self.name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
             w = (self.plan.w_q.astype(jnp.float32) *
                  self.plan.w_scale).astype(x.dtype)
             return jax.lax.conv_general_dilated(
@@ -174,15 +223,12 @@ def calibrate_scales(
         drn_forward(params, state, batch, spec, train=False,
                     compute_dtype=compute_dtype, sparse_plans=probe_plans,
                     stem_fn=stem_fn, stem_stages=stem_stages)
-        return jnp.stack([amax for _name, amax in recorded])
+        return dict(recorded)
 
     probes: dict[str, float] = {name: 0.0 for name in plans}
-    names: list[str] = []
     for batch in frames:
-        amaxes = np.asarray(fwd(jnp.asarray(batch)))
-        if not names:
-            names = [n for n, _ in recorded]  # trace order, fixed
-        for n, v in zip(names, amaxes):
+        amaxes = jax.tree.map(np.asarray, fwd(jnp.asarray(batch)))
+        for n, v in amaxes.items():
             probes[n] = max(probes[n], float(v))
     return {n: v / 127.0 for n, v in probes.items() if v > 0}
 

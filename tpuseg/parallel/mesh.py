@@ -41,6 +41,90 @@ def initialize_distributed(
     )
 
 
+def configure_backend_from_env() -> None:
+    """Honor TPUSEG_PLATFORM / TPUSEG_NUM_CPU_DEVICES before backend init.
+
+    The axon PJRT relay in this environment pins ``jax_platforms`` at
+    interpreter boot (overriding JAX_PLATFORMS), so subprocess tests that
+    need a local N-device CPU backend set these env vars and the CLIs apply
+    them before the first ``jax.devices()`` call.  No-op once the backend is
+    initialized.
+    """
+    import os
+
+    plat = os.environ.get("TPUSEG_PLATFORM")
+    ncpu = os.environ.get("TPUSEG_NUM_CPU_DEVICES")
+    try:
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        if ncpu:
+            jax.config.update("jax_num_cpu_devices", int(ncpu))
+    except RuntimeError:
+        pass
+
+
+def data_parallel_size(batch_size: int, n_devices: int) -> int:
+    """Largest device count ≤ ``n_devices`` that divides ``batch_size``."""
+    d = max(1, min(batch_size, n_devices))
+    while batch_size % d:
+        d -= 1
+    return d
+
+
+def setup_data_parallel(batch_size: int, mesh_devices: int = 0):
+    """Build the training mesh + shardings for a trainer CLI.
+
+    Returns ``(mesh, repl_sharding, data_sharding, local_batch_size)``.
+    The reference gets this via DataParallel (semantic_seg.py:809-815) or
+    DDP with per-GPU batch division (semantic_seg_multigpu.py:509-511);
+    here one mesh covers both: single-process uses the largest divisor of
+    the batch among local devices, multi-process uses ALL global devices
+    and treats ``batch_size`` as the GLOBAL batch, each process feeding
+    ``batch_size // process_count`` samples that are assembled into global
+    arrays (so XLA's gradient all-reduce spans hosts — the DDP-backward
+    equivalent, rmbsnn_main.py:477-484).
+    """
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        n_dev = len(jax.devices())
+        if batch_size % n_dev:
+            raise SystemExit(
+                f"--batch-size {batch_size} must be divisible by the global "
+                f"device count {n_dev} in multi-process mode"
+            )
+        if batch_size % n_proc:
+            raise SystemExit(
+                f"--batch-size {batch_size} must be divisible by "
+                f"--num-processes {n_proc}"
+            )
+        dp = n_dev
+        local_bs = batch_size // n_proc
+    else:
+        avail = len(jax.devices())
+        cap = mesh_devices if mesh_devices and mesh_devices > 0 else avail
+        dp = data_parallel_size(batch_size, min(cap, avail))
+        local_bs = batch_size
+    mesh = make_mesh(data=dp, spatial=1, devices=jax.devices()[:dp])
+    return (
+        mesh,
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P("data")),
+        local_bs,
+    )
+
+
+def put_global_batch(sharding: NamedSharding, x: np.ndarray):
+    """Device-put one per-process batch array as a GLOBAL sharded array.
+
+    Single-process: plain sharded device_put.  Multi-process: the local
+    array is this process's slice of the global batch; assemble the global
+    array so the jitted step's mean-loss gradient all-reduces across hosts.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, x)
+    return jax.device_put(x, sharding)
+
+
 def make_mesh(
     data: int | None = None,
     spatial: int = 1,
