@@ -157,6 +157,23 @@ def bench_fused():
         qplan = quantize_fused_plan(plan, x_scale=0.05)
         tq = timeit(lambda xx, p=qplan: fused_sparse_conv_apply_q(
             xx, p, rows_per_tile=4))
+        # round-3 phase-shifted kernel (dx pre-shift in HBM, free H slices,
+        # per-tap f32 accumulation — no xmat concat)
+        from tpuseg.ops.sparse_conv import (
+            phase_sparse_conv_apply,
+            plan_shared_sparse_conv,
+        )
+
+        sh_plan = plan_shared_sparse_conv(w, mask, dilation=DIL)
+        tp, tp_rpt = 1e9, 0
+        for rpt in (4, 8, 16):
+            try:
+                tt = timeit(lambda xx, p=sh_plan, r=rpt:
+                            phase_sparse_conv_apply(xx, p, rows_per_tile=r))
+            except AssertionError:
+                continue
+            if tt < tp:
+                tp, tp_rpt = tt, rpt
         print(json.dumps({
             "metric": f"fused_sparse_conv_{int(sparsity*1000)/10}pct",
             "block_density": round(plan.block_density, 4),
@@ -164,6 +181,10 @@ def bench_fused():
             "int8_ms": round(tq * 1e3, 3),
             "int8_speedup_vs_dense": round(t_dense / tq, 3),
             "speedup_vs_dense": round(t_dense / t, 3),
+            "phase_ms": round(tp * 1e3, 3),
+            "phase_rows_per_tile": tp_rpt,
+            "phase_speedup_vs_dense": round(t_dense / tp, 3),
+            "phase_union_density": round(sh_plan.union_density, 4),
         }))
 
 

@@ -186,3 +186,52 @@ def test_int8_fused_sparse_conv_matches_masked_dense():
         ref = conv2d(x, jnp.asarray(w * mask), 1, DIL, DIL)
         rel = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
         assert rel < 0.05, (x_scale, rel)  # two-sided int8 rounding
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_phase_sparse_conv_matches(dilation):
+    """Round-3 phase-shifted kernel: dx pre-shift in HBM + free H slices +
+    per-tap f32 accumulation must equal the masked dense conv."""
+    from tpuseg.ops.sparse_conv import (
+        phase_sparse_conv_apply,
+        plan_shared_sparse_conv,
+    )
+
+    rng = np.random.default_rng(7)
+    cin = cout = 256
+    k = 3
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    coarse = np.array([[1, 0], [1, 1]], dtype=np.float32)
+    mask2d = np.kron(coarse, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (k, k, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cin)).astype(np.float32))
+    plan = plan_shared_sparse_conv(w, mask, dilation=dilation, dtype=np.float32)
+    y = phase_sparse_conv_apply(x, plan, rows_per_tile=4)
+    pad = dilation * (k - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_phase_sparse_conv_sparse_union():
+    """With a genuinely sparse union the kernel computes at union density."""
+    from tpuseg.ops.sparse_conv import (
+        phase_sparse_conv_apply,
+        plan_shared_sparse_conv,
+    )
+
+    rng = np.random.default_rng(8)
+    cin, cout = 512, 256
+    k = 3
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    # only K-blocks 1 and 3 live
+    nz = np.zeros((4, 2), np.float32)
+    nz[1, :] = 1
+    nz[3, 0] = 1
+    mask2d = np.kron(nz, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (k, k, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, cin)).astype(np.float32))
+    plan = plan_shared_sparse_conv(w, mask, dilation=2, dtype=np.float32)
+    assert plan.s == 2 and plan.union_density == 0.5
+    y = phase_sparse_conv_apply(x, plan, rows_per_tile=8)
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=2, padding=2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)

@@ -157,3 +157,28 @@ def test_device_resize_path():
     ]
     ref = _segmenter().run(up, warmup=False)
     np.testing.assert_array_equal(out["ids"], ref["ids"])
+
+
+def test_temporal_reuse_ids(rng):
+    """temporal_interval=2: non-key frames carry their keyframe's ids
+    exactly; identical frames give 100% agreement with the full run."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import SyntheticFrames, VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    kw = dict(compute_dtype=None, batch=4)
+    seg_t = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], temporal_interval=2, **kw)
+    frames = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+              for _ in range(2)]
+    # batch = [A, A, B, B]: keyframes 0 and 2; frames 1/3 reuse them
+    batch = [frames[0], frames[0], frames[1], frames[1]]
+    out = seg_t.run(batch, warmup=False, need_color=False)
+    assert out["ids"].shape == (4, 64, 64)
+    np.testing.assert_array_equal(out["ids"][0], out["ids"][1])
+    np.testing.assert_array_equal(out["ids"][2], out["ids"][3])
+    # with duplicated frames the reuse is exact vs the full run
+    seg_f = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], **kw)
+    full = seg_f.run(batch, warmup=False, need_color=False)
+    np.testing.assert_array_equal(out["ids"], full["ids"])

@@ -37,7 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--quantize", action="store_true",
                    help="int8 serving mode: run the MXU-roofline stages "
-                        "(5-8) quantized (symmetric PTQ, per-channel "
+                        "(4-8, stride-1 convs with >=128 channels) "
+                        "quantized (symmetric PTQ, per-channel "
                         "weight scales; tpuseg.ops.quant).  Changes "
                         "numerics — ids typically agree with bf16 on "
                         ">99%% of pixels")
@@ -53,10 +54,14 @@ def parse_args(argv=None):
                         "per-conv absmax reduction; 153.8 -> 165.6 fps)")
     p.add_argument("--host-resize", action="store_true",
                    help="resize frames to --size on the host during decode "
-                        "(reference behavior; default decodes at native "
-                        "resolution and resizes on device, shipping far "
-                        "fewer bytes when the source is smaller than "
-                        "--size)")
+                        "(cv2 bilinear, exactly the reference demos' "
+                        "behavior).  NOTE: the DEFAULT differs from the "
+                        "reference — frames decode at native resolution "
+                        "and are resized on device (jax.image.resize), "
+                        "shipping far fewer bytes when the source is "
+                        "smaller than --size; predictions may differ "
+                        "slightly from the host-resize path.  Pass this "
+                        "flag for bit-parity with the reference demos")
     p.add_argument("--device-outputs", action="store_true",
                    help="colorize/overlay on device and fetch RGB frames "
                         "(best on PCIe-attached chips; default fetches "
@@ -64,6 +69,17 @@ def parse_args(argv=None):
     p.add_argument("--device-fps", action="store_true",
                    help="also report pure device throughput at --size "
                         "(on-device loop, dispatch-overhead-immune)")
+    p.add_argument("--temporal", type=int, default=1, metavar="N",
+                   help="temporal-reuse serving mode: run the network only "
+                        "on every Nth frame (keyframes); frames in between "
+                        "reuse the preceding keyframe's class ids — device "
+                        "compute drops ~Nx.  APPROXIMATE: fidelity depends "
+                        "on scene motion; measure it with --temporal-report")
+    p.add_argument("--temporal-report", action="store_true",
+                   help="with --temporal N: also run the exact per-frame "
+                        "pipeline on the same frames and report "
+                        "ids_agreement (fraction of pixels whose class id "
+                        "matches the full computation) and both fps")
     p.add_argument("--mean", default="0.290,0.328,0.287")
     p.add_argument("--std", default="0.183,0.187,0.184")
     p.add_argument("--profile-dir", default=None,
@@ -142,6 +158,7 @@ def main(argv=None):
         quantize=args.quantize,
         calib_frames=calib,
         exec_plans=exec_plans,
+        temporal_interval=args.temporal,
     )
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")
@@ -170,8 +187,36 @@ def main(argv=None):
         "size": f"{h}x{w}",
         "arch": args.arch,
     }
+    if args.temporal > 1:
+        line["temporal_interval"] = args.temporal
     if args.device_fps:
         line["device_fps"] = round(seg.benchmark_device_fps((h, w)), 2)
+    if args.temporal_report and args.temporal > 1:
+        # fidelity: the exact per-frame run on the SAME frames
+        from tpuseg.ops.quant import ids_agreement
+
+        seg_full = VideoSegmenter(
+            params, state, spec, mean, std,
+            compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+            batch=args.batch, want_overlay=args.overlay,
+            device_outputs=args.device_outputs,
+            target_size=None if args.host_resize else (h, w),
+            quantize=args.quantize, calib_frames=calib,
+            exec_plans=exec_plans,
+        )
+        frames2 = FrameSource(
+            args.video, size=(h, w) if args.host_resize else None
+        )
+        full = seg_full.run(frames2, max_frames=args.frames, need_color=False)
+        n = min(len(result["ids"]), len(full["ids"]))
+        line["temporal_ids_agreement"] = round(
+            ids_agreement(result["ids"][:n], full["ids"][:n]), 4
+        )
+        line["full_fps"] = round(full["fps"], 2)
+        if args.device_fps:
+            line["full_device_fps"] = round(
+                seg_full.benchmark_device_fps((h, w)), 2
+            )
     print(json.dumps(line))
 
 

@@ -535,6 +535,139 @@ def shared_sparse_conv_apply(
     return y
 
 
+def phase_sparse_conv_apply(
+    x: jax.Array, plan: SharedFusedSparseConv, rows_per_tile: int = 8,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Phase-shifted fused sparse conv — the round-3 attack on the measured
+    xmat-shuffle bottleneck (docs/PERF_NOTES.md: the in-kernel tap-slice
+    copies building the (R*w, T*S*bk) concat cost ~4.7 MB of VMEM shuffles
+    per tile and capped the fused kernel at ~1.9x).
+
+    Idea: a tap slice is expensive ONLY because of its W (sublane-dim)
+    offset — H slices are free (untiled dim) and DMA can't express the
+    non-8-aligned dx shifts.  So pre-shift the input in HBM instead: build
+    the k dx-phase views  xpd[q] = xp[:, :, q*dil : q*dil + w, :]  with one
+    XLA gather (HBM-bandwidth, outside the kernel), DMA one halo slab per
+    (phase, support slot), and every tap (dy, dx=q*dil) becomes a FREE
+    H-slice of phase slab q at W offset 0.  Per-tap dots accumulate in f32
+    registers — no concat, no shuffles.
+
+    Requires w % 8 == 0 (offset-0 extent-w slices stay sublane-aligned);
+    DRN's production feature grids (1024x2048 -> 128x256) satisfy it.
+    """
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    R = rows_per_tile
+    while R > 1 and h % R:
+        R -= 1
+    assert h % R == 0, (h, R)
+    assert w_ % 8 == 0, (
+        f"phase_sparse_conv_apply needs w % 8 == 0 (got {w_}); "
+        "use fused_sparse_conv_apply for odd grids"
+    )
+    nmb = plan.cout // bm
+    itemsize = jnp.dtype(plan.vals.dtype).itemsize
+    est = (
+        int(plan.vals.size) * itemsize            # all out-blocks' weights
+        + k * (R + 2 * pad) * w_ * S * bk * itemsize  # k phase slabs
+        + R * w_ * plan.cout * 4                  # f32 output tile
+    )
+    assert est < 13 * 2**20, (
+        f"phase sparse conv footprint ~{est/2**20:.1f} MB exceeds VMEM; "
+        f"reduce rows_per_tile (R={R})"
+    )
+    # padded input: H halo pad on both sides; W right-padded so every
+    # dx-phase slice (offset q*dil, extent w_) is in bounds
+    xp = jnp.pad(
+        x.astype(plan.vals.dtype),
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+    # k dx-phase views, stacked: (k, n, h+2p, w_, cin).  One XLA gather at
+    # HBM bandwidth; the kernel then never touches a W offset.
+    xpd = jnp.stack(
+        [
+            jax.lax.slice(
+                xp, (0, 0, q * dil, 0), (n, h + 2 * pad, q * dil + w_, cin)
+            )
+            for q in range(k)
+        ]
+    )
+    taps_np = plan.taps
+    rows = plan.rows
+
+    def kernel_fn(vals_ref, xpd_hbm, y_ref, xg, sem):
+        ij = pl.program_id(0)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+
+        for q in range(k):  # static: phases
+            for s_i, kblk in enumerate(rows):  # static: union support
+                cp = pltpu.make_async_copy(
+                    xpd_hbm.at[
+                        q,
+                        nb,
+                        pl.ds(hb * R, R + 2 * pad),
+                        pl.ds(0, w_),
+                        pl.ds(kblk * bk, bk),
+                    ],
+                    xg.at[q, :, :, pl.ds(s_i * bk, bk)],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+        for jb in range(nmb):
+            acc = None
+            for t in range(T):
+                p_, q_ = divmod(t, k)
+                dy = p_ * dil
+                # H slice (free) of phase slab q_: the tap operand, already
+                # W-aligned; reshape merges (R, w_) with w_ % 8 == 0 (free)
+                sl = xg[q_, dy : dy + R, :, :].reshape(R * w_, S * bk)
+                yt = jax.lax.dot_general(
+                    sl,
+                    vals_ref[jb, t * S * bk : (t + 1) * S * bk, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = yt if acc is None else acc + yt
+            y_ref[0, :, :, jb * bm : (jb + 1) * bm] = acc.reshape(
+                R, w_, bm
+            ).astype(y_ref.dtype)
+
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # all out-blocks' weights
+            pl.BlockSpec(memory_space=pltpu.HBM),   # phase views stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, plan.cout),
+            lambda ij: (ij // (h // R), ij % (h // R), 0, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, R + 2 * pad, w_, S * bk), plan.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * nmb * T * S * bk * bm,
+            bytes_accessed=int(plan.vals.size) * 2
+            + int(xpd.size) * 2
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(plan.vals, xpd)
+    return y
+
+
 def sparse_conv_apply(
     x: jax.Array, plan: SparseConvPlan, dilation: int = 1, bp: int = 512
 ) -> jax.Array:
@@ -638,12 +771,16 @@ def fused_sparse_conv_apply_q(
         R -= 1  # odd feature grids: largest dividing tile height
     assert h % R == 0, (h, R)
     if plan.x_scale is None:
-        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-        xs = jnp.maximum(absmax, 1e-8) / 127.0
+        # per-frame dynamic scale (reduce over HWC only): a frame's output
+        # must not depend on which frames share its batch (e.g. the
+        # replicated padding frames of a short final batch)
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3))
+        xs = jnp.maximum(absmax, 1e-8) / 127.0          # (N,)
     else:
-        xs = jnp.float32(plan.x_scale)
+        xs = jnp.full((n,), plan.x_scale, jnp.float32)
     xq = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / xs), -127, 127
+        jnp.round(x.astype(jnp.float32) / xs[:, None, None, None]),
+        -127, 127,
     ).astype(jnp.int8)
     # int8 tiles are (32, 128): DMA slice extents on the W dim must be
     # 32-aligned (8-aligned for bf16; unaligned extents FAULT the worker —

@@ -128,7 +128,17 @@ class VideoSegmenter:
         quantize: bool = False,
         calib_frames=None,
         exec_plans=None,
+        temporal_interval: int = 1,
     ):
+        # ``temporal_interval=N`` exploits temporal redundancy (the
+        # DeltaCNN observation: consecutive video frames change sparsely):
+        # only every Nth frame of a batch runs the network ("keyframe");
+        # the frames in between reuse the preceding keyframe's class ids.
+        # The device program computes B/N forwards per B-frame batch, so
+        # device rate scales ~N-fold.  APPROXIMATE — report fidelity as
+        # ids_agreement vs the full per-frame run (seg_video --temporal N
+        # --temporal-report); agreement depends on scene motion per frame
+        # interval, so it is a property of the video, not the model.
         # ``exec_plans`` serves a compressed model: a per-conv execution
         # plan dict from tpuseg.models.sparse_exec.build_sparse_plans
         # (block-sparse Pallas kernels), optionally lifted to int8 with
@@ -260,17 +270,22 @@ class VideoSegmenter:
                 frames_u8 = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
                 frames_u8 = frames_u8.reshape(frames_u8.shape[0], th, tw * 3)
                 flat, h, w = True, th, tw
+            n_frames = frames_u8.shape[0]
+            # temporal reuse: forward only the keyframes (every Nth frame);
+            # ids for the rest are filled from their keyframe below
+            frames_fwd = (frames_u8[::temporal_interval]
+                          if temporal_interval > 1 else frames_u8)
             use_stem = stem_fn is not None and h % 8 == 0 and w % 8 == 0
             if use_stem:
                 # the frontend normalizes after its fast space-to-depth;
                 # feed raw uint8 frames
-                x = frames_u8
+                x = frames_fwd
             else:
                 if flat:
-                    frames_u8 = frames_u8.reshape(
-                        frames_u8.shape[0], h, w, 3
+                    frames_fwd = frames_fwd.reshape(
+                        frames_fwd.shape[0], h, w, 3
                     )
-                x = frames_u8.astype(jnp.float32) / 255.0
+                x = frames_fwd.astype(jnp.float32) / 255.0
                 x = (x - mean) / std
             sf = stem_fn if use_stem else None
             ss = stem_stages if use_stem else 1
@@ -296,6 +311,9 @@ class VideoSegmenter:
             # upsampled map can overshoot the frame by a few pixels — crop
             ids = ids[:, :h, :w]
             ids = ids.astype(jnp.uint8)
+            if temporal_interval > 1:
+                # each non-key frame reuses its preceding keyframe's ids
+                ids = jnp.repeat(ids, temporal_interval, axis=0)[:n_frames]
             if not device_outputs:
                 return ids, ids, ids
             color = jnp.take(palette_dev, ids, axis=0)
