@@ -174,6 +174,47 @@ def bench_fused():
                 continue
             if tt < tp:
                 tp, tp_rpt = tt, rpt
+        # per-out-block phase variant: per-column density AND no shuffles
+        from tpuseg.ops.sparse_conv import fused_phase_sparse_conv_apply
+
+        tfp, tfp_rpt = 1e9, 0
+        for rpt in (4, 8, 16, 32):
+            try:
+                tt = timeit(lambda xx, p=plan, r=rpt:
+                            fused_phase_sparse_conv_apply(
+                                xx, p, rows_per_tile=r))
+            except AssertionError:
+                continue
+            if tt < tfp:
+                tfp, tfp_rpt = tt, rpt
+        # direct-DMA im2col variant: single big dot, zero shuffles
+        from tpuseg.ops.sparse_conv import imcol_phase_sparse_conv_apply
+
+        tic, tic_rpt = 1e9, 0
+        for rpt in (4, 8, 16):
+            try:
+                tt = timeit(lambda xx, p=plan, r=rpt:
+                            imcol_phase_sparse_conv_apply(
+                                xx, p, rows_per_tile=r))
+            except AssertionError:
+                continue
+            if tt < tic:
+                tic, tic_rpt = tt, rpt
+        # shared-union xmat + single wide dot (shuffle amortized over
+        # out-blocks, compute at union density)
+        from tpuseg.ops.sparse_conv import shared_concat_sparse_conv_apply
+
+        tsc, tsc_cfg = 1e9, (0, 0)
+        for rpt in (4, 8):
+            for osp in (1, 2, 4):
+                try:
+                    tt = timeit(lambda xx, p=sh_plan, r=rpt, o=osp:
+                                shared_concat_sparse_conv_apply(
+                                    xx, p, rows_per_tile=r, out_split=o))
+                except AssertionError:
+                    continue
+                if tt < tsc:
+                    tsc, tsc_cfg = tt, (rpt, osp)
         print(json.dumps({
             "metric": f"fused_sparse_conv_{int(sparsity*1000)/10}pct",
             "block_density": round(plan.block_density, 4),
@@ -185,7 +226,43 @@ def bench_fused():
             "phase_rows_per_tile": tp_rpt,
             "phase_speedup_vs_dense": round(t_dense / tp, 3),
             "phase_union_density": round(sh_plan.union_density, 4),
+            "fphase_ms": round(tfp * 1e3, 3),
+            "fphase_rows_per_tile": tfp_rpt,
+            "fphase_speedup_vs_dense": round(t_dense / tfp, 3),
+            "imcol_ms": round(tic * 1e3, 3),
+            "imcol_rows_per_tile": tic_rpt,
+            "imcol_speedup_vs_dense": round(t_dense / tic, 3),
+            "sconcat_ms": round(tsc * 1e3, 3),
+            "sconcat_cfg": list(tsc_cfg),
+            "sconcat_speedup_vs_dense": round(t_dense / tsc, 3),
         }))
+
+    # phase kernel at density 1.0: the feasibility probe for a fused
+    # residual-block kernel (BACKLOG #1 / VERDICT r2 #2) — if a Pallas
+    # conv can't match XLA's dense conv at the layer-6 shape, chaining
+    # conv+add+relu in VMEM cannot win either (XLA measured ~92% MXU here)
+    from tpuseg.ops.sparse_conv import (
+        phase_sparse_conv_apply,
+        plan_shared_sparse_conv,
+    )
+
+    ones = np.ones_like(w)
+    dense_plan = plan_shared_sparse_conv(w, ones, dilation=DIL)
+    td_p, td_rpt = 1e9, 0
+    for rpt in (2, 4, 8):
+        try:
+            tt = timeit(lambda xx, p=dense_plan, r=rpt:
+                        phase_sparse_conv_apply(xx, p, rows_per_tile=r))
+        except AssertionError:
+            continue
+        if tt < td_p:
+            td_p, td_rpt = tt, rpt
+    print(json.dumps({
+        "metric": "phase_kernel_density_1.0",
+        "ms": round(td_p * 1e3, 3),
+        "rows_per_tile": td_rpt,
+        "vs_xla_dense": round(t_dense / td_p, 3),
+    }))
 
 
 def bench_model():

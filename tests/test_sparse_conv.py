@@ -235,3 +235,81 @@ def test_phase_sparse_conv_sparse_union():
     y = phase_sparse_conv_apply(x, plan, rows_per_tile=8)
     ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=2, padding=2)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_fused_phase_sparse_conv_matches(dilation):
+    """Per-out-block phase kernel (phase pre-shift + per-column union)
+    equals the masked dense conv."""
+    from tpuseg.ops.sparse_conv import (
+        fused_phase_sparse_conv_apply,
+        plan_fused_sparse_conv,
+    )
+
+    rng = np.random.default_rng(9)
+    cin, cout = 512, 256
+    k = 3
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    nz = np.zeros((4, 2), np.float32)
+    nz[1, 0] = 1
+    nz[3, 1] = 1
+    nz[0, 1] = 1
+    mask2d = np.kron(nz, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (k, k, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cin)).astype(np.float32))
+    plan = plan_fused_sparse_conv(w, mask, dilation=dilation, dtype=np.float32)
+    y = fused_phase_sparse_conv_apply(x, plan, rows_per_tile=4)
+    pad = dilation * (k - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_imcol_phase_sparse_conv_matches(dilation):
+    """Direct-DMA im2col variant equals the masked dense conv."""
+    from tpuseg.ops.sparse_conv import (
+        imcol_phase_sparse_conv_apply,
+        plan_fused_sparse_conv,
+    )
+
+    rng = np.random.default_rng(10)
+    cin, cout = 512, 256
+    k = 3
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    nz = np.zeros((4, 2), np.float32)
+    nz[1, 0] = 1
+    nz[3, 1] = 1
+    nz[0, 1] = 1
+    mask2d = np.kron(nz, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (k, k, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cin)).astype(np.float32))
+    plan = plan_fused_sparse_conv(w, mask, dilation=dilation, dtype=np.float32)
+    y = imcol_phase_sparse_conv_apply(x, plan, rows_per_tile=4)
+    pad = dilation * (k - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_shared_concat_sparse_conv_matches(dilation):
+    """Shared-union xmat + single wide dot equals the masked dense conv."""
+    from tpuseg.ops.sparse_conv import (
+        plan_shared_sparse_conv,
+        shared_concat_sparse_conv_apply,
+    )
+
+    rng = np.random.default_rng(11)
+    cin, cout = 512, 256
+    k = 3
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    nz = np.zeros((4, 2), np.float32)
+    nz[1, 0] = 1
+    nz[3, 1] = 1
+    mask2d = np.kron(nz, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (k, k, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cin)).astype(np.float32))
+    plan = plan_shared_sparse_conv(w, mask, dilation=dilation, dtype=np.float32)
+    y = shared_concat_sparse_conv_apply(x, plan, rows_per_tile=4, out_split=2)
+    pad = dilation * (k - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)

@@ -535,6 +535,276 @@ def shared_sparse_conv_apply(
     return y
 
 
+def fused_phase_sparse_conv_apply(
+    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int | None = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Per-out-block phase-shifted fused sparse conv.
+
+    Combines the per-out-block union packing of :func:`fused_sparse_conv_
+    apply` (compute at per-column density, e.g. 0.125 at 87.5%) with the
+    dx-phase pre-shift of :func:`phase_sparse_conv_apply` (no xmat concat,
+    no sublane shuffles).  Measured motivation: the shared-union phase
+    kernel pays union-over-out-blocks density (0.5 at 87.5% on random
+    block masks — 4x the FLOPs), while the original fused kernel pays
+    ~4.7 MB/tile of VMEM shuffles; this variant pays neither, at the cost
+    of k x the halo-slab DMA (cheap: DMA was measured NOT the bottleneck).
+
+    Same plan object as ``fused_sparse_conv_apply``; needs w % 8 == 0.
+    """
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    R = plan.rows_per_tile if rows_per_tile is None else rows_per_tile
+    while R > 1 and h % R:
+        R -= 1
+    assert h % R == 0, (h, R)
+    assert w_ % 8 == 0, (
+        f"fused_phase_sparse_conv_apply needs w % 8 == 0 (got {w_})"
+    )
+    itemsize = jnp.dtype(plan.vals.dtype).itemsize
+    # BlockSpec'd operands (weights, output) are double-buffered by the
+    # pipeline — count them twice; scratch is single-buffered (measured:
+    # an 11.6 MB single-count estimate compiled to an 18.6 MB scoped
+    # allocation and OOM'd the 16 MB vmem limit)
+    est = (
+        k * (R + 2 * pad) * w_ * S * bk * itemsize  # k phase slabs (scratch)
+        + 2 * T * S * bk * bm * itemsize            # out-block weights (2x)
+        + 2 * R * w_ * bm * 4                       # f32 output tile (2x)
+    )
+    assert est < 12 * 2**20, (
+        f"fused phase sparse conv footprint ~{est/2**20:.1f} MB exceeds "
+        f"VMEM; reduce rows_per_tile (R={R})"
+    )
+    xp = jnp.pad(
+        x.astype(plan.vals.dtype),
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+    xpd = jnp.stack(
+        [
+            jax.lax.slice(
+                xp, (0, 0, q * dil, 0), (n, h + 2 * pad, q * dil + w_, cin)
+            )
+            for q in range(k)
+        ]
+    )  # (k, n, h+2p, w_, cin)
+    taps_np = plan.taps
+
+    def kernel_fn(rows_ref, vals_ref, xpd_hbm, y_ref, xg, sem):
+        ij = pl.program_id(0)
+        jb = pl.program_id(1)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+
+        for q in range(k):  # static: phases
+            def gather(s, _, q=q):
+                kblk = rows_ref[jb, s]
+                cp = pltpu.make_async_copy(
+                    xpd_hbm.at[
+                        q,
+                        nb,
+                        pl.ds(hb * R, R + 2 * pad),
+                        pl.ds(0, w_),
+                        pl.ds(kblk * bk, bk),
+                    ],
+                    xg.at[q, :, :, pl.ds(s * bk, bk)],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, S, gather, 0)
+        acc = None
+        for t in range(T):
+            p_, q_ = divmod(t, k)
+            dy = p_ * dil
+            sl = xg[q_, dy : dy + R, :, :].reshape(R * w_, S * bk)
+            yt = jax.lax.dot_general(
+                sl,
+                vals_ref[0, t * S * bk : (t + 1) * S * bk, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = yt if acc is None else acc + yt
+        y_ref[:] = acc.reshape(1, R, w_, bm).astype(y_ref.dtype)
+
+    nmb = plan.cout // bm
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R), nmb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rows (nmb, S)
+            pl.BlockSpec((1, T * S * bk, bm), lambda ij, jb: (jb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, bm),
+            lambda ij, jb: (ij // (h // R), ij % (h // R), 0, jb),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, R + 2 * pad, w_, S * bk), plan.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * nmb * T * S * bk * bm,
+            bytes_accessed=int(plan.vals.size) * 2
+            + int(xpd.size) * 2 * nmb
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(plan.rows, plan.vals, xpd)
+    return y
+
+
+def imcol_phase_sparse_conv_apply(
+    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int | None = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Direct-DMA im2col fused sparse conv — round-3, third formulation.
+
+    Measured context (v5e, layer-6 shape, 87.5%): the original fused kernel
+    (slab gather + 9 register tap-slices + concat + ONE dot) runs 0.84 ms —
+    the tap slices/concat are ~0.55 ms of VMEM shuffles; the per-tap-dot
+    phase variant eliminates the shuffles but splits the MXU contraction
+    into 9 K=128 dots with an f32 VMEM accumulator and runs WORSE (1.13 ms:
+    9 extra VPU passes over the 1 MB accumulator).  This version keeps the
+    single K=T*S*bk dot AND eliminates the shuffles: each tap's operand
+    block is DMA'd straight from the dx-phase HBM views into its column
+    block of an im2col-layout VMEM buffer (lane offsets t*S*bk + s*bk are
+    128-aligned, H source offsets are free, W offsets are 0 by phase
+    pre-shift).  The cost moved to DMA: T*S slabs per (tile, out-block) =
+    im2col traffic (~9x input bytes), which HBM sustains far cheaper than
+    the VPU sustained the shuffles.
+    """
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    R = plan.rows_per_tile if rows_per_tile is None else rows_per_tile
+    while R > 1 and h % R:
+        R -= 1
+    assert h % R == 0, (h, R)
+    assert w_ % 8 == 0, (
+        f"imcol_phase_sparse_conv_apply needs w % 8 == 0 (got {w_})"
+    )
+    itemsize = jnp.dtype(plan.vals.dtype).itemsize
+    est = (
+        R * w_ * T * S * bk * itemsize      # im2col buffer (scratch)
+        + 2 * T * S * bk * bm * itemsize    # out-block weights (2x pipeline)
+        + 2 * R * w_ * bm * 4               # f32 output tile (2x pipeline)
+    )
+    assert est < 12 * 2**20, (
+        f"imcol phase sparse conv footprint ~{est/2**20:.1f} MB exceeds "
+        f"VMEM; reduce rows_per_tile (R={R})"
+    )
+    xp = jnp.pad(
+        x.astype(plan.vals.dtype),
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+    xpd = jnp.stack(
+        [
+            jax.lax.slice(
+                xp, (0, 0, q * dil, 0), (n, h + 2 * pad, q * dil + w_, cin)
+            )
+            for q in range(k)
+        ]
+    )  # (k, n, h+2p, w_, cin)
+
+    def kernel_fn(rows_ref, vals_ref, xpd_hbm, y_ref, xm, sems):
+        ij = pl.program_id(0)
+        jb = pl.program_id(1)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+
+        # start ALL T*S tap DMAs (independent engines), then wait — the
+        # copies overlap each other; lane destinations t*S*bk + s*bk are
+        # 128-aligned, H source offsets free, W offset 0 via phase views
+        for t in range(T):
+            p_, q_ = divmod(t, k)
+            dy = p_ * dil
+
+            def start(s, _, t=t, q_=q_, dy=dy):
+                kblk = rows_ref[jb, s]
+                pltpu.make_async_copy(
+                    xpd_hbm.at[
+                        q_,
+                        nb,
+                        pl.ds(hb * R + dy, R),
+                        pl.ds(0, w_),
+                        pl.ds(kblk * bk, bk),
+                    ],
+                    xm.at[:, :, pl.ds(t * S * bk + s * bk, bk)],
+                    sems.at[t],
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, S, start, 0)
+        for t in range(T):
+            def wait(s, _, t=t):
+                # reconstruct the copy to wait on its semaphore
+                p_, q_ = divmod(t, k)
+                kblk = rows_ref[jb, s]
+                pltpu.make_async_copy(
+                    xpd_hbm.at[
+                        q_,
+                        nb,
+                        pl.ds(hb * R + p_ * dil, R),
+                        pl.ds(0, w_),
+                        pl.ds(kblk * bk, bk),
+                    ],
+                    xm.at[:, :, pl.ds(t * S * bk + s * bk, bk)],
+                    sems.at[t],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, S, wait, 0)
+        y_ref[:] = jax.lax.dot_general(
+            xm[:].reshape(R * w_, T * S * bk),
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(1, R, w_, bm).astype(y_ref.dtype)
+
+    nmb = plan.cout // bm
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R), nmb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rows (nmb, S)
+            pl.BlockSpec((1, T * S * bk, bm), lambda ij, jb: (jb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, bm),
+            lambda ij, jb: (ij // (h // R), ij % (h // R), 0, jb),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R, w_, T * S * bk), plan.vals.dtype),
+            pltpu.SemaphoreType.DMA((T,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * nmb * T * S * bk * bm,
+            bytes_accessed=int(plan.vals.size) * 2
+            + n * h * w_ * T * S * bk * nmb * itemsize
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(plan.rows, plan.vals, xpd)
+    return y
+
+
 def phase_sparse_conv_apply(
     x: jax.Array, plan: SharedFusedSparseConv, rows_per_tile: int = 8,
     out_dtype=jnp.float32,
@@ -665,6 +935,125 @@ def phase_sparse_conv_apply(
             transcendentals=0,
         ),
     )(plan.vals, xpd)
+    return y
+
+
+def shared_concat_sparse_conv_apply(
+    x: jax.Array, plan: SharedFusedSparseConv, rows_per_tile: int = 4,
+    out_split: int = 2, out_dtype=jnp.float32,
+) -> jax.Array:
+    """Shared-union xmat + single wide dot — round-3, fourth formulation.
+
+    The per-out-block fused kernel rebuilds its xmat (tap slices + concat,
+    the measured ~0.55 ms/layer shuffle cost) for EVERY out-channel block.
+    Here the xmat is built once per (spatial tile, cout/out_split group) on
+    the SHARED union support and consumed by one N=cout/out_split-wide dot,
+    amortizing the shuffle across out-blocks at the price of computing at
+    union density (union ~0.5 vs per-block 0.125 at 87.5% on random
+    masks).  Shuffle bytes per useful output drop by nmb/out_split x.
+    """
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    nmb = plan.cout // bm
+    assert nmb % out_split == 0, (nmb, out_split)
+    gm = (nmb // out_split) * bm  # output columns per dot
+    R = rows_per_tile
+    while R > 1 and h % R:
+        R -= 1
+    assert h % R == 0, (h, R)
+    wp = -(-(w_ + 2 * pad) // 8) * 8
+    itemsize = jnp.dtype(plan.vals.dtype).itemsize
+    est = (
+        R * w_ * T * S * bk * itemsize            # xmat (scratch)
+        + (R + 2 * pad) * wp * S * bk * itemsize  # halo slab (scratch)
+        + 2 * T * S * bk * gm * itemsize          # weight group (2x pipeline)
+        + 2 * R * w_ * gm * 4                     # f32 out tile (2x pipeline)
+    )
+    assert est < 12 * 2**20, (
+        f"shared concat sparse conv footprint ~{est/2**20:.1f} MB exceeds "
+        f"VMEM; reduce rows_per_tile (R={R}) or raise out_split"
+    )
+    xp = jnp.pad(
+        x.astype(plan.vals.dtype),
+        ((0, 0), (pad, pad), (pad, wp - w_ - pad), (0, 0)),
+    )
+    # weights as one (out_split, T*S*bk, gm) matrix: tap-major rows on the
+    # shared union, out-blocks side by side in the columns
+    vals_wide = (
+        plan.vals.reshape(out_split, nmb // out_split, T * S * bk, bm)
+        .transpose(0, 2, 1, 3)
+        .reshape(out_split, T * S * bk, gm)
+    )
+    taps_np = plan.taps
+    rows = plan.rows
+
+    def kernel_fn(vals_ref, xp_hbm, y_ref, xg, xm, sem):
+        ij = pl.program_id(0)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+        jg = pl.program_id(1)
+
+        @pl.when(jg == 0)
+        def _build():
+            for s_i, kblk in enumerate(rows):  # static union support
+                cp = pltpu.make_async_copy(
+                    xp_hbm.at[
+                        nb,
+                        pl.ds(hb * R, R + 2 * pad),
+                        pl.ds(0, wp),
+                        pl.ds(kblk * bk, bk),
+                    ],
+                    xg.at[:, :, pl.ds(s_i * bk, bk)],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+            slab = xg[:]
+            for t in range(T):
+                dy, dx = int(taps_np[t, 0]), int(taps_np[t, 1])
+                xm[:, :, pl.ds(t * S * bk, S * bk)] = jax.lax.slice(
+                    slab, (dy, dx, 0), (dy + R, dx + w_, S * bk)
+                )
+
+        y_ref[:] = jax.lax.dot_general(
+            xm[:].reshape(R * w_, T * S * bk),
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(1, R, w_, gm).astype(y_ref.dtype)
+
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R), out_split),
+        in_specs=[
+            pl.BlockSpec((1, T * S * bk, gm), lambda ij, jg: (jg, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, gm),
+            lambda ij, jg: (ij // (h // R), ij % (h // R), 0, jg),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, h, w_, plan.cout), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2 * pad, wp, S * bk), plan.vals.dtype),
+            pltpu.VMEM((R, w_, T * S * bk), plan.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * T * S * bk * plan.cout,
+            bytes_accessed=int(plan.vals.size) * 2 + int(xp.size) * 2
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(vals_wide, xp)
     return y
 
 
