@@ -32,12 +32,18 @@ def main():
     from tpuseg.ops.upsample import upsample_argmax
 
     H, W = 1024, 2048
-    # batch=8 serving mode: the reference's own throughput probes batch
+    # batch=32 serving mode: the reference's own throughput probes batch
     # frames (seg_video.py:280-285 times a 26-frame batch; seg_video_new.py
     # runs 25-frame batches), and batching is how a deployed video service
-    # runs.  Measured on v5e: 112.5 fps at batch=8 vs 106.0 at batch=1
-    # (+6% — better MXU utilization on the small-grid tail stages).
-    BATCH = 8
+    # runs.  Measured batch sweep on v5e (round 3): 1 -> 106.0, 8 -> 112.6,
+    # 12 -> 87.4 (non-multiple-of-8 batch breaks the folded layouts),
+    # 16 -> 114.7, 24 -> 115.9, 32 -> 116.5 fps; diminishing past 16, so 32
+    # is at the plateau (275 ms/batch latency — fine for throughput
+    # serving; latency-sensitive callers use batch 8 via
+    # TPUSEG_BENCH_BATCH / seg_video --batch).
+    import os
+
+    BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", "32"))
     # forwards per dispatched call: the remote-dispatch overhead on the axon
     # relay is ~30 ms/call, so the device-side scan must be long enough to
     # amortize it below the noise floor (INNER scan steps x BATCH frames)

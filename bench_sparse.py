@@ -200,6 +200,18 @@ def bench_fused():
                 continue
             if tt < tic:
                 tic, tic_rpt = tt, rpt
+        # phase pre-shift + ALIGNED concat + one dot (relayout-free copies)
+        from tpuseg.ops.sparse_conv import cphase_sparse_conv_apply
+
+        tcp, tcp_rpt = 1e9, 0
+        for rpt in (4, 8, 16):
+            try:
+                tt = timeit(lambda xx, p=plan, r=rpt:
+                            cphase_sparse_conv_apply(xx, p, rows_per_tile=r))
+            except AssertionError:
+                continue
+            if tt < tcp:
+                tcp, tcp_rpt = tt, rpt
         # shared-union xmat + single wide dot (shuffle amortized over
         # out-blocks, compute at union density)
         from tpuseg.ops.sparse_conv import shared_concat_sparse_conv_apply
@@ -232,6 +244,9 @@ def bench_fused():
             "imcol_ms": round(tic * 1e3, 3),
             "imcol_rows_per_tile": tic_rpt,
             "imcol_speedup_vs_dense": round(t_dense / tic, 3),
+            "cphase_ms": round(tcp * 1e3, 3),
+            "cphase_rows_per_tile": tcp_rpt,
+            "cphase_speedup_vs_dense": round(t_dense / tcp, 3),
             "sconcat_ms": round(tsc * 1e3, 3),
             "sconcat_cfg": list(tsc_cfg),
             "sconcat_speedup_vs_dense": round(t_dense / tsc, 3),

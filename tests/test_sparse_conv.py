@@ -313,3 +313,29 @@ def test_shared_concat_sparse_conv_matches(dilation):
     pad = dilation * (k - 1) // 2
     ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_cphase_sparse_conv_matches(dilation):
+    """Phase pre-shift + aligned concat + one dot equals masked dense."""
+    from tpuseg.ops.sparse_conv import (
+        cphase_sparse_conv_apply,
+        plan_fused_sparse_conv,
+    )
+
+    rng = np.random.default_rng(12)
+    cin, cout = 512, 256
+    k = 3
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    nz = np.zeros((4, 2), np.float32)
+    nz[1, 0] = 1
+    nz[2, 1] = 1
+    nz[0, 0] = 1
+    mask2d = np.kron(nz, np.ones((128, 128), np.float32))
+    mask = np.broadcast_to(mask2d, (k, k, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cin)).astype(np.float32))
+    plan = plan_fused_sparse_conv(w, mask, dilation=dilation, dtype=np.float32)
+    y = cphase_sparse_conv_apply(x, plan, rows_per_tile=4)
+    pad = dilation * (k - 1) // 2
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=dilation, padding=pad)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)

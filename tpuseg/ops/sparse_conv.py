@@ -805,6 +805,131 @@ def imcol_phase_sparse_conv_apply(
     return y
 
 
+def cphase_sparse_conv_apply(
+    x: jax.Array, plan: FusedSparseConv, rows_per_tile: int | None = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Phase pre-shift + ALIGNED concat + one dot — round-3, fifth cell of
+    the design matrix.
+
+    The original kernel's xmat build pays copy volume AND relayout (tap
+    slices at non-8-aligned W offsets); the per-tap-dot phase variant
+    removed both but split the MXU contraction (worse); the im2col variant
+    moved the copies to HBM DMA (worse).  This variant keeps the single
+    K=T*S*bk dot and materializes xmat with RELAYOUT-FREE copies: tap
+    operands are H-slices of the dx-phase slabs (free) written into the
+    im2col scratch at 128-aligned lane offsets — pure VMEM data movement,
+    no sublane shuffles.  If the original kernel's unexplained ~0.3 ms is
+    relayout overhead (copy-volume floor is ~0.2-0.3 ms at S=1), this
+    lands ~2.3-2.7x.
+    """
+    n, h, w_, cin = x.shape
+    k, dil = plan.kernel, plan.dilation
+    pad = dil * (k - 1) // 2
+    T = k * k
+    S, bk, bm = plan.s, plan.bk, plan.bm
+    R = plan.rows_per_tile if rows_per_tile is None else rows_per_tile
+    while R > 1 and h % R:
+        R -= 1
+    assert h % R == 0, (h, R)
+    assert w_ % 8 == 0, (
+        f"cphase_sparse_conv_apply needs w % 8 == 0 (got {w_})"
+    )
+    itemsize = jnp.dtype(plan.vals.dtype).itemsize
+    est = (
+        k * (R + 2 * pad) * w_ * S * bk * itemsize  # phase slabs (scratch)
+        + R * w_ * T * S * bk * itemsize            # xmat (scratch)
+        + 2 * T * S * bk * bm * itemsize            # out-block weights (2x)
+        + 2 * R * w_ * bm * 4                       # f32 out tile (2x)
+    )
+    assert est < 12 * 2**20, (
+        f"cphase sparse conv footprint ~{est/2**20:.1f} MB exceeds VMEM; "
+        f"reduce rows_per_tile (R={R})"
+    )
+    xp = jnp.pad(
+        x.astype(plan.vals.dtype),
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+    xpd = jnp.stack(
+        [
+            jax.lax.slice(
+                xp, (0, 0, q * dil, 0), (n, h + 2 * pad, q * dil + w_, cin)
+            )
+            for q in range(k)
+        ]
+    )
+    taps_np = plan.taps
+
+    def kernel_fn(rows_ref, vals_ref, xpd_hbm, y_ref, xg, xm, sem):
+        ij = pl.program_id(0)
+        jb = pl.program_id(1)
+        nb = ij // (h // R)
+        hb = ij % (h // R)
+
+        for q in range(k):
+            def gather(s, _, q=q):
+                kblk = rows_ref[jb, s]
+                cp = pltpu.make_async_copy(
+                    xpd_hbm.at[
+                        q,
+                        nb,
+                        pl.ds(hb * R, R + 2 * pad),
+                        pl.ds(0, w_),
+                        pl.ds(kblk * bk, bk),
+                    ],
+                    xg.at[q, :, :, pl.ds(s * bk, bk)],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, S, gather, 0)
+        for t in range(T):
+            p_, q_ = divmod(t, k)
+            dy = p_ * dil
+            # free H slice, 128-aligned lane-offset store: no relayout
+            xm[:, :, pl.ds(t * S * bk, S * bk)] = xg[q_, dy : dy + R, :, :]
+        y_ref[:] = jax.lax.dot_general(
+            xm[:].reshape(R * w_, T * S * bk),
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(1, R, w_, bm).astype(y_ref.dtype)
+
+    nmb = plan.cout // bm
+    y = pl.pallas_call(
+        kernel_fn,
+        grid=(n * (h // R), nmb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T * S * bk, bm), lambda ij, jb: (jb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, w_, bm),
+            lambda ij, jb: (ij // (h // R), ij % (h // R), 0, jb),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_, plan.cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, R + 2 * pad, w_, S * bk), plan.vals.dtype),
+            pltpu.VMEM((R, w_, T * S * bk), plan.vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_ * nmb * T * S * bk * bm,
+            bytes_accessed=int(plan.vals.size) * 2
+            + int(xpd.size) * 2
+            + n * h * w_ * plan.cout * 4,
+            transcendentals=0,
+        ),
+    )(plan.rows, plan.vals, xpd)
+    return y
+
+
 def phase_sparse_conv_apply(
     x: jax.Array, plan: SharedFusedSparseConv, rows_per_tile: int = 8,
     out_dtype=jnp.float32,
