@@ -67,3 +67,32 @@ def test_kill9_mid_save_leaves_loadable_checkpoint(tmp_path):
 
     save_checkpoint(path, params, bn, meta={"epoch": meta["epoch"] + 1})
     assert load_checkpoint(path)[4]["epoch"] == meta["epoch"] + 1
+
+
+def test_orbax_envelope_roundtrip(tmp_path):
+    """BACKLOG #8: paths ending .orbax dispatch to the orbax envelope with
+    the same tuple contract (async save + overwrite + best-copy)."""
+    from tpuseg.train import save_checkpoint
+    from tpuseg.train.orbax_ckpt import wait_for_saves
+
+    path = str(tmp_path / "run" / "checkpoint.orbax")
+    params = {"conv1.weight": np.full((3, 3, 4, 8), 1.5, np.float32)}
+    bn = {"bn1.mean": np.zeros(8, np.float32)}
+    masks = {"conv1.weight": np.ones((3, 3, 4, 8), np.float32)}
+    opt = [{"mu": {"conv1.weight": np.full((3, 3, 4, 8), 2.0, np.float32)}}]
+    save_checkpoint(path, params, bn, opt_state=opt, masks=masks,
+                    meta={"epoch": 1, "arch": "drn_d_22"}, is_best=True)
+    p, s, m, oa, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(p["conv1.weight"], params["conv1.weight"])
+    np.testing.assert_array_equal(m["conv1.weight"], masks["conv1.weight"])
+    np.testing.assert_array_equal(
+        oa["0/mu/conv1.weight"], opt[0]["mu"]["conv1.weight"]
+    )
+    assert meta == {"epoch": 1, "arch": "drn_d_22"}
+    # best-copy directory mirrors checkpoint_best.npz
+    best = load_checkpoint(str(tmp_path / "run" / "checkpoint_best.orbax"))
+    assert best[4]["epoch"] == 1
+    # async save overwrites the existing directory atomically
+    save_checkpoint(path, params, bn, meta={"epoch": 2}, async_save=True)
+    wait_for_saves()
+    assert load_checkpoint(path)[4]["epoch"] == 2

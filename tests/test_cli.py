@@ -142,3 +142,26 @@ def test_baseline_trainer_converges(mini_cityscapes, tmp_path, capsys):
     assert len(lines) == 2
     assert lines[1]["train_loss"] < lines[0]["train_loss"], lines
     assert os.path.exists(os.path.join(save, "checkpoint.npz"))
+
+
+@pytest.mark.slow
+def test_train_orbax_ckpt_and_resume(mini_cityscapes, tmp_path):
+    """--ckpt-format orbax: async orbax envelope saves per epoch, resume
+    restores epoch/params from the directory checkpoint (BACKLOG #8)."""
+    save = str(tmp_path / "orun")
+    seg_main([
+        "train", "-d", str(mini_cityscapes), "-s", "32",
+        "--batch-size", "2", "--epochs", "1", "--dtype", "float32",
+        "--save-dir", save, "--ckpt-format", "orbax",
+    ])
+    ckpt = os.path.join(save, "checkpoint.orbax")
+    assert os.path.isdir(ckpt)
+    from tpuseg.train import load_checkpoint
+
+    assert load_checkpoint(ckpt)[4]["epoch"] == 1
+    seg_main([
+        "train", "-d", str(mini_cityscapes), "-s", "32",
+        "--batch-size", "2", "--epochs", "2", "--dtype", "float32",
+        "--save-dir", save, "--ckpt-format", "orbax", "--resume", ckpt,
+    ])
+    assert load_checkpoint(ckpt)[4]["epoch"] == 2

@@ -205,3 +205,23 @@ def test_rmbsnn_evaluate_quantize(tmp_path, capsys):
     assert "acc1" in blob and "int8_acc1" in blob
     assert blob["int8_layers"] >= 20
     assert 0.0 <= blob["pred_agreement"] <= 1.0
+
+
+@pytest.mark.parametrize("arch", ["cifar_vgg11_bn", "cifar_wrn_16_4"])
+def test_cls_quant_plans_vgg_wrn(rng, arch):
+    """Round-3 BACKLOG #7: the vgg/rvgg/wrn families route through the same
+    per-layer exec-plan dispatch as the resnet families (previously
+    NotImplementedError)."""
+    import jax.numpy as jnp
+
+    from tpuseg.models.cifar import cifar_forward, create_cifar_model
+    from tpuseg.ops.quant import build_cls_quant_plans
+
+    params, state, spec = create_cifar_model(0, arch, 10)
+    plans = build_cls_quant_plans(params)
+    assert plans, f"no eligible convs found for {arch}"
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    ref = np.asarray(cifar_forward(params, state, x, spec)[0])
+    q = np.asarray(cifar_forward(params, state, x, spec, plans=plans)[0])
+    assert np.isfinite(q).all()
+    assert float(np.abs(ref - q).max()) < 0.2 * float(np.abs(ref).max())

@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--pretrained", default=None, help=".npz or .pth weights")
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
     p.add_argument("--save-dir", default="runs/seg")
+    p.add_argument("--ckpt-format", default="npz", choices=["npz", "orbax"],
+                   help="checkpoint envelope: single-file npz (atomic "
+                        "tmp+rename) or orbax directory (async background "
+                        "save + multi-host write coordination)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "epoch into this directory (TensorBoard/Perfetto)")
@@ -356,12 +360,15 @@ def cmd_train(args):
         # (tmp + rename) so kill-mid-save leaves the previous file intact
         if is_main:
             save_checkpoint(
-                join(args.save_dir, "checkpoint.npz"),
+                join(args.save_dir, "checkpoint." + args.ckpt_format),
                 ts.params, ts.bn_state,
                 opt_state=ts.opt_state, masks=ts.masks,
                 meta={"epoch": epoch + 1, "arch": args.arch,
                       "best_miou": best_miou, "dataset": "cityscapes"},
                 is_best=is_best,
+                # orbax saves run on a background thread; epoch N+1 trains
+                # while epoch N commits (npz ignores the flag)
+                async_save=(args.ckpt_format == "orbax"),
             )
         if n_proc > 1 and os.environ.get("TPUSEG_SAVE_ALL_PROCS"):
             # debug hook for the multi-host lockstep test: every process
@@ -388,6 +395,10 @@ def cmd_train(args):
             runlog.log(epoch, line)
     if runlog is not None:
         runlog.close()
+    if args.ckpt_format == "orbax":
+        from tpuseg.train.orbax_ckpt import wait_for_saves
+
+        wait_for_saves()  # don't exit with an uncommitted async save
     return best_miou
 
 

@@ -465,15 +465,10 @@ def _init_vgg(spec: CifarSpec, I: _Init):
 
 
 def _fwd_vgg(params, state, x, spec, train, cd, upd, plans=None):
-    if plans:
-        raise NotImplementedError(
-            "exec-plan dispatch covers the resnet families (cresnet/"
-            "tvresnet); vgg/rvgg serving plans are not wired"
-        )
     for kind, idx, cin, cout in _vgg_layout(spec):
         name = f"features.{idx}"
         if kind == "conv":
-            x = conv2d(x, params[f"{name}.weight"], 1, 1, 1, cd)
+            x = _pconv(plans, params, name, x, 1, 1, 1, cd)
             x = x + params[f"{name}.bias"].astype(x.dtype)
         elif kind == "bn":
             x = batch_norm(x, params, state, upd, name, train)
@@ -483,7 +478,7 @@ def _fwd_vgg(params, state, x, spec, train, cd, upd, plans=None):
             x = _maxpool2(x)
         elif kind == "rblock":
             identity = x
-            out = conv2d(x, params[f"{name}.conv1.weight"], 1, 1, 1, cd)
+            out = _pconv(plans, params, f"{name}.conv1", x, 1, 1, 1, cd)
             out = out + params[f"{name}.conv1.bias"].astype(out.dtype)
             out = batch_norm(out, params, state, upd, f"{name}.bn1", train)
             if spec.rvgg_res and cin == cout:
@@ -528,11 +523,6 @@ def _init_wrn(spec: CifarSpec, I: _Init):
 
 
 def _fwd_wrn(params, state, x, spec, train, cd, upd, plans=None):
-    if plans:
-        raise NotImplementedError(
-            "exec-plan dispatch covers the resnet families (cresnet/"
-            "tvresnet); wrn serving plans are not wired"
-        )
     k = spec.widen
     stages = [16, 16 * k, 32 * k, 64 * k]
     x = conv2d(x, params["conv1.weight"], 1, 1, 1, cd)
@@ -549,13 +539,13 @@ def _fwd_wrn(params, state, x, spec, train, cd, upd, plans=None):
             # the torch default momentum (0.1); only the top-level bn1 is
             # constructed with momentum=0.9 (cifar_wrn.py:61).
             out = jax.nn.relu(batch_norm(x, params, state, upd, f"{name}.bn1", train))
-            out = conv2d(out, params[f"{name}.conv1.weight"], 1, 1, 1, cd)
+            out = _pconv(plans, params, f"{name}.conv1", out, 1, 1, 1, cd)
             out = out + params[f"{name}.conv1.bias"].astype(out.dtype)
             out = jax.nn.relu(batch_norm(out, params, state, upd, f"{name}.bn2", train))
-            out = conv2d(out, params[f"{name}.conv2.weight"], s, 1, 1, cd)
+            out = _pconv(plans, params, f"{name}.conv2", out, s, 1, 1, cd)
             out = out + params[f"{name}.conv2.bias"].astype(out.dtype)
             if f"{name}.shortcut.0.weight" in params:
-                sc = conv2d(x, params[f"{name}.shortcut.0.weight"], s, 1, 0, cd)
+                sc = _pconv(plans, params, f"{name}.shortcut.0", x, s, 1, 0, cd)
                 sc = sc + params[f"{name}.shortcut.0.bias"].astype(sc.dtype)
             else:
                 sc = x

@@ -10,6 +10,10 @@ Format: a single .npz holding the flattened pytrees (``params/<name>``,
 ``bn_state/<name>``, ``masks/<name>``, ``opt/<idx>/<name>``) plus a JSON
 metadata blob.  Torch ``.pth`` checkpoints import via
 tpuseg.models.torch_import.load_pth.
+
+Paths ending in ``.orbax`` dispatch to the orbax envelope
+(``tpuseg.train.orbax_ckpt``) — same tuple contract, plus async save and
+multi-host write coordination.
 """
 
 from __future__ import annotations
@@ -50,7 +54,16 @@ def save_checkpoint(
     masks: Mapping[str, Any] | None = None,
     meta: Mapping[str, Any] | None = None,
     is_best: bool = False,
+    async_save: bool = False,
 ) -> None:
+    if path.endswith(".orbax"):
+        from tpuseg.train.orbax_ckpt import save_checkpoint_orbax
+
+        save_checkpoint_orbax(
+            path, params, bn_state, opt_state=opt_state, masks=masks,
+            meta=meta, is_best=is_best, async_save=async_save,
+        )
+        return
     arrays: dict[str, np.ndarray] = {}
     arrays.update(_flatten("params", dict(params)))
     arrays.update(_flatten("bn_state", dict(bn_state)))
@@ -74,6 +87,10 @@ def load_checkpoint(path: str):
     """Returns (params, bn_state, masks, opt_arrays, meta).  ``opt_arrays``
     is the flat ``{path: array}`` dict — restore into a live opt_state with
     ``restore_opt_state``."""
+    if path.endswith(".orbax"):
+        from tpuseg.train.orbax_ckpt import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(path)
     blob = np.load(path, allow_pickle=False)
     params, bn_state, masks, opt_arrays = {}, {}, {}, {}
     meta: dict[str, Any] = {}
