@@ -182,3 +182,37 @@ def test_temporal_reuse_ids(rng):
                            [0.18, 0.19, 0.18], **kw)
     full = seg_f.run(batch, warmup=False, need_color=False)
     np.testing.assert_array_equal(out["ids"], full["ids"])
+
+
+def test_adaptive_temporal_promotion(rng):
+    """temporal_thresh: the first frame always promotes; identical frames
+    reuse the keyframe's ids; a changed frame promotes and becomes the new
+    keyframe.  Promotion state persists across run() batches."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    kw = dict(compute_dtype=None, batch=3)
+    A = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    B = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    seg_a = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], temporal_thresh=5.0, **kw)
+    # two batches: [A, A, B] then [B, B, A] -> promotions at 0, 2, 5
+    out = seg_a.run([A, A, B, B, B, A], warmup=False, need_color=False)
+    assert out["frames"] == 6
+    assert out["promoted"] == 3
+    assert out["promotion_rate"] == pytest.approx(0.5)
+    np.testing.assert_array_equal(out["ids"][0], out["ids"][1])
+    np.testing.assert_array_equal(out["ids"][2], out["ids"][3])
+    np.testing.assert_array_equal(out["ids"][3], out["ids"][4])
+    # keyframe forwards match the exact per-frame pipeline
+    seg_f = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], **kw)
+    full = seg_f.run([A, A, B, B, B, A], warmup=False, need_color=False)
+    np.testing.assert_array_equal(out["ids"], full["ids"])
+
+    # device-rate benchmark threads the carry on-device end to end
+    dev = seg_a.benchmark_adaptive_device_fps([A, A, B, B, B, A], reps=1)
+    assert dev["frames"] == 6
+    assert dev["promotion_rate"] == pytest.approx(0.5)
+    assert dev["device_fps"] > 0

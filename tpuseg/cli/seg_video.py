@@ -75,11 +75,22 @@ def parse_args(argv=None):
                         "reuse the preceding keyframe's class ids — device "
                         "compute drops ~Nx.  APPROXIMATE: fidelity depends "
                         "on scene motion; measure it with --temporal-report")
+    p.add_argument("--temporal-thresh", type=float, default=None, metavar="T",
+                   help="ADAPTIVE temporal-reuse serving mode (instead of "
+                        "the fixed --temporal N cadence): each frame "
+                        "computes an in-graph mean-|pixel delta| against "
+                        "the last keyframe and runs the network only when "
+                        "it exceeds T (0..255 units; driving video "
+                        "inter-frame deltas are typically 2-8).  Static "
+                        "stretches cost ~no compute; cuts/motion promote "
+                        "immediately.  Reports promotion_rate; measure "
+                        "fidelity with --temporal-report")
     p.add_argument("--temporal-report", action="store_true",
-                   help="with --temporal N: also run the exact per-frame "
-                        "pipeline on the same frames and report "
-                        "ids_agreement (fraction of pixels whose class id "
-                        "matches the full computation) and both fps")
+                   help="with --temporal N / --temporal-thresh T: also run "
+                        "the exact per-frame pipeline on the same frames "
+                        "and report ids_agreement (fraction of pixels "
+                        "whose class id matches the full computation) and "
+                        "both fps")
     p.add_argument("--mean", default="0.290,0.328,0.287")
     p.add_argument("--std", default="0.183,0.187,0.184")
     p.add_argument("--profile-dir", default=None,
@@ -159,6 +170,7 @@ def main(argv=None):
         calib_frames=calib,
         exec_plans=exec_plans,
         temporal_interval=args.temporal,
+        temporal_thresh=args.temporal_thresh,
     )
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")
@@ -189,9 +201,31 @@ def main(argv=None):
     }
     if args.temporal > 1:
         line["temporal_interval"] = args.temporal
+    if args.temporal_thresh is not None:
+        line["temporal_thresh"] = args.temporal_thresh
+        line["promotion_rate"] = round(result["promotion_rate"], 4)
     if args.device_fps:
-        line["device_fps"] = round(seg.benchmark_device_fps((h, w)), 2)
-    if args.temporal_report and args.temporal > 1:
+        if args.temporal_thresh is not None:
+            # adaptive device rate is content-dependent: measure on the
+            # decoded frames themselves (fresh carry, so the report is
+            # independent of the streaming run above)
+            frames3 = [
+                f for _, f in zip(
+                    range(args.frames),
+                    FrameSource(
+                        args.video,
+                        size=(h, w) if args.host_resize else None,
+                    ),
+                )
+            ]
+            dev = seg.benchmark_adaptive_device_fps(frames3)
+            line["device_fps"] = round(dev["device_fps"], 2)
+            line["device_promotion_rate"] = round(dev["promotion_rate"], 4)
+        else:
+            line["device_fps"] = round(seg.benchmark_device_fps((h, w)), 2)
+    if args.temporal_report and (
+        args.temporal > 1 or args.temporal_thresh is not None
+    ):
         # fidelity: the exact per-frame run on the SAME frames
         from tpuseg.ops.quant import ids_agreement
 
