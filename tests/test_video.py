@@ -216,3 +216,29 @@ def test_adaptive_temporal_promotion(rng):
     assert dev["frames"] == 6
     assert dev["promotion_rate"] == pytest.approx(0.5)
     assert dev["device_fps"] > 0
+
+
+def test_mesh_data_parallel_serving():
+    """mesh=Mesh('data'): batch-sharded serving produces ids identical to
+    the single-device program (8 virtual CPU devices)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import SyntheticFrames, VideoSegmenter
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    kw = dict(compute_dtype=None, batch=8)
+    frames = list(SyntheticFrames(8, (32, 32)))
+    mesh = Mesh(np.asarray(devs[:8]), ("data",))
+    seg_m = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], mesh=mesh, **kw)
+    seg_1 = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], **kw)
+    out_m = seg_m.run(frames, warmup=False, need_color=False)
+    out_1 = seg_1.run(frames, warmup=False, need_color=False)
+    np.testing.assert_array_equal(out_m["ids"], out_1["ids"])
+    assert seg_m.benchmark_device_fps((32, 32), inner=2, reps=1) > 0

@@ -54,6 +54,9 @@ def parse_args(argv=None):
                         "report its top-1/5, wall time, and prediction "
                         "agreement vs the float path")
     p.add_argument("--save-dir", default="runs/cls")
+    p.add_argument("--ckpt-format", default="npz", choices=["npz", "orbax"],
+                   help="checkpoint envelope: single-file npz or orbax "
+                        "directory (async save, multi-host coordination)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
     p.add_argument("--synthetic-n", type=int, default=256)
@@ -316,17 +319,22 @@ def main(argv=None):
         # (rmbsnn_main.py:414-415)
         if is_main:
             save_checkpoint(
-                join(args.save_dir, "checkpoint.npz"),
+                join(args.save_dir, "checkpoint." + args.ckpt_format),
                 ts.params, ts.bn_state, opt_state=ts.opt_state, masks=ts.masks,
                 meta={"epoch": epoch + 1, "arch": args.arch,
                       "best_acc1": best_acc1, "dataset": args.dataset},
                 is_best=is_best,
+                async_save=(args.ckpt_format == "orbax"),
             )
             print(json.dumps({
                 "epoch": epoch, "train_loss": round(losses.avg, 4),
                 "train_acc": round(accs.avg, 3), "acc1": round(top1, 3),
                 "acc5": round(top5, 3), "seconds": round(time.time() - t0, 2),
             }))
+    if args.ckpt_format == "orbax":
+        from tpuseg.train.orbax_ckpt import wait_for_saves
+
+        wait_for_saves()  # don't exit with an uncommitted async save
 
 
 if __name__ == "__main__":

@@ -91,12 +91,31 @@ def parse_args(argv=None):
                         "and report ids_agreement (fraction of pixels "
                         "whose class id matches the full computation) and "
                         "both fps")
+    p.add_argument("--mesh-devices", type=int, default=0, metavar="N",
+                   help="serve data-parallel over the first N local devices "
+                        "(batch-dim sharding over a Mesh('data'); --batch "
+                        "must divide N; 0 = single device).  Not combinable "
+                        "with --pr-config-path or --temporal-thresh")
     p.add_argument("--mean", default="0.290,0.328,0.287")
     p.add_argument("--std", default="0.183,0.187,0.184")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler device trace of the run "
                         "into this directory (TensorBoard/Perfetto)")
     return p.parse_args(argv)
+
+
+def _build_mesh(n: int):
+    if not n:
+        return None
+    import jax
+    from jax.sharding import Mesh
+
+    from tpuseg.parallel.mesh import configure_backend_from_env
+
+    configure_backend_from_env()
+    devs = jax.devices()[:n]
+    assert len(devs) == n, f"asked for {n} devices, have {len(jax.devices())}"
+    return Mesh(np.asarray(devs), ("data",))
 
 
 def load_model(args):
@@ -171,6 +190,7 @@ def main(argv=None):
         exec_plans=exec_plans,
         temporal_interval=args.temporal,
         temporal_thresh=args.temporal_thresh,
+        mesh=_build_mesh(args.mesh_devices),
     )
     if not os.path.exists(args.video):
         raise SystemExit(f"error: video file not found: {args.video}")

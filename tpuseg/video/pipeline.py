@@ -130,6 +130,7 @@ class VideoSegmenter:
         exec_plans=None,
         temporal_interval: int = 1,
         temporal_thresh: float | None = None,
+        mesh=None,
     ):
         # ``temporal_interval=N`` exploits temporal redundancy (the
         # DeltaCNN observation: consecutive video frames change sparsely):
@@ -395,9 +396,39 @@ class VideoSegmenter:
         self.temporal_thresh = temporal_thresh
         self.target_size = target_size
         self._carry = None  # adaptive mode: persists across run() batches
-        self._program = jax.jit(
-            program_adaptive if temporal_thresh is not None else program
-        )
+        self._frames_sharding = None
+        if mesh is not None:
+            # multi-chip serving: batch-dim data parallelism over a
+            # Mesh('data').  Params replicate, frames shard; the whole
+            # program partitions under GSPMD (the serving counterpart of
+            # the trainers' shard_train_step; the reference's only serving
+            # parallelism is torch DataParallel, semantic_seg.py:809-815).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            assert temporal_thresh is None, (
+                "adaptive temporal reuse is sequential frame-to-frame; "
+                "use interval mode or a single device"
+            )
+            assert exec_plans is None, (
+                "Pallas exec plans are opaque to the GSPMD partitioner; "
+                "serve compressed models single-device"
+            )
+            assert batch % n_dev == 0, (
+                f"batch {batch} must divide over the {n_dev}-device mesh"
+            )
+            repl = NamedSharding(mesh, P())
+            self._frames_sharding = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(self.params, repl)
+            self.bn_state = jax.device_put(self.bn_state, repl)
+            self._program = jax.jit(
+                program,
+                in_shardings=(repl, repl, self._frames_sharding),
+            )
+        else:
+            self._program = jax.jit(
+                program_adaptive if temporal_thresh is not None else program
+            )
 
     def run(
         self,
@@ -449,9 +480,13 @@ class VideoSegmenter:
 
         def call_program(arr):
             if not adaptive:
-                return self._program(
-                    self.params, self.bn_state, jnp.asarray(arr)
-                ), None
+                if self._frames_sharding is not None:
+                    # multi-chip: scatter the host batch straight to its
+                    # per-device shards (no single-device staging copy)
+                    x = jax.device_put(np.asarray(arr), self._frames_sharding)
+                else:
+                    x = jnp.asarray(arr)
+                return self._program(self.params, self.bn_state, x), None
             if self._carry is None:
                 self._carry = init_carry(arr)
             results, promoted, carry = self._program(
@@ -614,6 +649,8 @@ class VideoSegmenter:
             return probes.astype(jnp.int32).sum()
 
         frames = jnp.zeros((self.batch, h, w * 3), jnp.uint8)
+        if self._frames_sharding is not None:
+            frames = jax.device_put(frames, self._frames_sharding)
         float(np.asarray(loop(frames)))  # compile
         best = float("inf")
         for _ in range(reps):
