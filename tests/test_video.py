@@ -242,3 +242,41 @@ def test_mesh_data_parallel_serving():
     out_1 = seg_1.run(frames, warmup=False, need_color=False)
     np.testing.assert_array_equal(out_m["ids"], out_1["ids"])
     assert seg_m.benchmark_device_fps((32, 32), inner=2, reps=1) > 0
+
+
+def test_budgeted_temporal_promotion(rng):
+    """temporal_budget=K: the cheap diff scan picks content-aligned
+    keyframes, one batched K-frame forward serves them, and ids match the
+    unbudgeted sequential adaptive program when promotions fit the
+    budget.  Beyond-budget changes defer to the next batch."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    mkw = dict(compute_dtype=None, batch=4)
+    A = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    B = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    C = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    seq = [A, A, B, B, C, C, C, A]  # promotions at 0, 2, 4, 7
+    seg_b = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], temporal_thresh=5.0,
+                           temporal_budget=2, **mkw)
+    out_b = seg_b.run(seq, warmup=False, need_color=False)
+    assert out_b["promoted"] == 4
+    seg_s = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], temporal_thresh=5.0, **mkw)
+    out_s = seg_s.run(seq, warmup=False, need_color=False)
+    np.testing.assert_array_equal(out_b["ids"], out_s["ids"])
+
+    # budget pressure: batch [A, B, C, A] with budget 1 promotes only A;
+    # B/C/A2 reuse A's ids (bounded staleness, deferred to next batch)
+    seg_p = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], temporal_thresh=5.0,
+                           temporal_budget=1, **mkw)
+    out_p = seg_p.run([A, B, C, A], warmup=False, need_color=False)
+    assert out_p["promoted"] == 1
+    for i in range(1, 4):
+        np.testing.assert_array_equal(out_p["ids"][i], out_p["ids"][0])
+    # the device-rate benchmark threads the same carry
+    dev = seg_b.benchmark_adaptive_device_fps(seq, reps=1)
+    assert dev["frames"] == 8 and dev["device_fps"] > 0

@@ -85,6 +85,13 @@ def parse_args(argv=None):
                         "stretches cost ~no compute; cuts/motion promote "
                         "immediately.  Reports promotion_rate; measure "
                         "fidelity with --temporal-report")
+    p.add_argument("--temporal-budget", type=int, default=None, metavar="K",
+                   help="with --temporal-thresh: budgeted batch promotion "
+                        "— a cheap diff scan picks up to K content-chosen "
+                        "keyframes per batch and ONE batched K-frame "
+                        "forward serves them (static compute at batched "
+                        "MXU efficiency, ~batch/K x the full rate); "
+                        "beyond-budget changes promote next batch")
     p.add_argument("--temporal-report", action="store_true",
                    help="with --temporal N / --temporal-thresh T: also run "
                         "the exact per-frame pipeline on the same frames "
@@ -190,6 +197,7 @@ def main(argv=None):
         exec_plans=exec_plans,
         temporal_interval=args.temporal,
         temporal_thresh=args.temporal_thresh,
+        temporal_budget=args.temporal_budget,
         mesh=_build_mesh(args.mesh_devices),
     )
     if not os.path.exists(args.video):
@@ -224,6 +232,8 @@ def main(argv=None):
     if args.temporal_thresh is not None:
         line["temporal_thresh"] = args.temporal_thresh
         line["promotion_rate"] = round(result["promotion_rate"], 4)
+        if args.temporal_budget is not None:
+            line["temporal_budget"] = args.temporal_budget
     if args.device_fps:
         if args.temporal_thresh is not None:
             # adaptive device rate is content-dependent: measure on the

@@ -130,6 +130,7 @@ class VideoSegmenter:
         exec_plans=None,
         temporal_interval: int = 1,
         temporal_thresh: float | None = None,
+        temporal_budget: int | None = None,
         mesh=None,
     ):
         # ``temporal_interval=N`` exploits temporal redundancy (the
@@ -156,6 +157,20 @@ class VideoSegmenter:
         # in mean-|delta| units of 0..255 pixel values (measure a video's
         # scale with --temporal-report; driving video inter-frame deltas
         # are typically 2-8).  Mutually exclusive with temporal_interval.
+        # ``temporal_budget=K`` (with temporal_thresh) is the BUDGETED
+        # batch variant — the one that wins on MXU.  Measured round 3: the
+        # sequential cond-per-frame program pays batch-1 forward
+        # efficiency (102 vs 116.5 fps equivalent), so on uniformly-moving
+        # video fixed intervals beat it at equal agreement (N=4: 415 fps
+        # @96.1% vs thresh-8: 322 @96.0% on Road_1101).  The budgeted
+        # variant keeps the content-adaptive keyframe CHOICE but batches
+        # the compute: a cheap sequential diff scan (pixel traffic only,
+        # no forwards) selects up to K promotion frames per batch, ONE
+        # batched K-frame forward computes their ids, and every frame
+        # gathers its keyframe's ids.  Compute is static (K forwards per
+        # B frames -> device rate ~ B/K x the batched rate) while
+        # keyframes still land exactly where the content changes; beyond-
+        # budget changes wait for the next batch (bounded staleness).
         # ``exec_plans`` serves a compressed model: a per-conv execution
         # plan dict from tpuseg.models.sparse_exec.build_sparse_plans
         # (block-sparse Pallas kernels), optionally lifted to int8 with
@@ -393,7 +408,74 @@ class VideoSegmenter:
             return (outputs(ids, frames_u8, flat, h, w), promoted,
                     (key_frame, key_ids, n_keyed))
 
+        def program_budget(params, bn_state, frames_u8, prev_frame,
+                           key_ids, acc0, n_keyed):
+            """Budgeted batch promotion: vectorized change detection +
+            scalar selection scan + ONE batched K-frame forward.
+
+            The sequential variant's per-frame diff-vs-keyframe inside the
+            scan costs ~1 ms/frame of pixel traffic (measured: it erased
+            the batching win).  Here the pixel work is ONE parallel op —
+            consecutive-frame deltas d[i] = mean|f[i] - f[i-1]| over the
+            whole batch — and the sequential part scans only SCALARS:
+            accumulated drift since the last keyframe (triangle-inequality
+            upper bound on the true diff-to-keyframe; resets on
+            promotion).  Thresholds are in accumulated-delta units: a
+            static scene accumulates ~0 and never promotes; steady motion
+            at per-frame delta d promotes every ~thresh/d frames; a cut
+            promotes immediately."""
+            frames_u8, flat, h, w = resize_frames(frames_u8)
+            nb = frames_u8.shape[0]
+            K = temporal_budget
+            prevs = jnp.concatenate(
+                [prev_frame[None], frames_u8[:-1]], axis=0
+            )
+            d = jnp.mean(
+                jnp.abs(
+                    frames_u8.astype(jnp.int16) - prevs.astype(jnp.int16)
+                ).astype(jnp.float32),
+                axis=tuple(range(1, frames_u8.ndim)),
+            )
+
+            def sel(carry, di):
+                acc, used, n = carry
+                acc = acc + di
+                want = jnp.logical_or(n == 0, acc > temporal_thresh)
+                run = jnp.logical_and(want, used < K)
+                acc = jnp.where(run, 0.0, acc)
+                one = run.astype(jnp.int32)
+                return (acc, used + one, n + one), run
+
+            (acc0, _, n_keyed), flags = jax.lax.scan(
+                sel, (acc0, jnp.zeros((), jnp.int32), n_keyed), d
+            )
+            cs = jnp.cumsum(flags.astype(jnp.int32))
+            # frame i's keyframe sits at promoted-order slot cs[i]-1
+            # (-1: no promotion yet this batch -> the carried key_ids)
+            keyslot = cs - 1
+            # slot s <- index of the (s+1)-th promoted frame; unpromoted
+            # flags scatter into a dump slot; unfilled slots forward frame
+            # 0 (static padding — the budget is paid regardless)
+            slot_of = jnp.where(flags, keyslot, K)
+            fwd_idx = (
+                jnp.zeros((K + 1,), jnp.int32)
+                .at[slot_of].set(jnp.arange(nb, dtype=jnp.int32))[:K]
+            )
+            ids_k = ids_for(frames_u8[fwd_idx], flat, h, w)
+            ids = jnp.where(
+                (keyslot >= 0)[:, None, None],
+                ids_k[jnp.clip(keyslot, 0, K - 1)],
+                key_ids[None],
+            )
+            # every frame carries its keyframe's ids, so the last frame's
+            # ids ARE the live keyframe's ids; the drift accumulator and
+            # the last frame (for the next batch's d[0]) carry over
+            key_ids = ids[-1]
+            return (outputs(ids, frames_u8, flat, h, w), flags,
+                    (frames_u8[-1], key_ids, acc0, n_keyed))
+
         self.temporal_thresh = temporal_thresh
+        self.temporal_budget = temporal_budget
         self.target_size = target_size
         self._carry = None  # adaptive mode: persists across run() batches
         self._frames_sharding = None
@@ -426,9 +508,36 @@ class VideoSegmenter:
                 in_shardings=(repl, repl, self._frames_sharding),
             )
         else:
+            if temporal_thresh is not None and temporal_budget is not None:
+                assert 0 < temporal_budget <= batch, (
+                    f"temporal_budget {temporal_budget} must be in "
+                    f"1..batch ({batch})"
+                )
+                adaptive_prog = program_budget
+            else:
+                assert temporal_budget is None, (
+                    "temporal_budget requires temporal_thresh"
+                )
+                adaptive_prog = program_adaptive
             self._program = jax.jit(
-                program_adaptive if temporal_thresh is not None else program
+                adaptive_prog if temporal_thresh is not None else program
             )
+
+    def _make_carry(self, h: int, w: int):
+        """Fresh adaptive-mode carry at the POST-resize frame shape (the
+        upload is always flat in adaptive mode); n_keyed=0 forces the first
+        frame ever to promote regardless of content.
+
+        Sequential mode carries (keyframe pixels, keyframe ids, n_keyed);
+        budget mode carries (previous frame pixels — consecutive deltas need
+        it, not the keyframe —, live keyframe ids, accumulated drift,
+        n_keyed)."""
+        frame = jnp.zeros((h, w * 3), jnp.uint8)
+        ids = jnp.zeros((h, w), jnp.uint8)
+        n = jnp.zeros((), jnp.int32)
+        if self.temporal_budget is not None:
+            return (frame, ids, jnp.zeros((), jnp.float32), n)
+        return (frame, ids, n)
 
     def run(
         self,
@@ -464,19 +573,12 @@ class VideoSegmenter:
         promoted_counts = []
 
         def init_carry(arr):
-            # adaptive keyframe state at the POST-resize frame shape (the
-            # upload is always flat in adaptive mode); n_keyed=0 forces the
-            # first frame ever to promote regardless of content
             if self.target_size is not None:
                 h, w = self.target_size
             else:
                 h = arr.shape[1]
                 w = arr.shape[2] // 3 if arr.ndim == 3 else arr.shape[2]
-            return (
-                jnp.zeros((h, w * 3), jnp.uint8),
-                jnp.zeros((h, w), jnp.uint8),
-                jnp.zeros((), jnp.int32),
-            )
+            return self._make_carry(h, w)
 
         def call_program(arr):
             if not adaptive:
@@ -684,11 +786,7 @@ class VideoSegmenter:
             h, w = self.target_size
         else:
             h, w = arr.shape[1], arr.shape[2]
-        carry0 = (
-            jnp.zeros((h, w * 3), jnp.uint8),
-            jnp.zeros((h, w), jnp.uint8),
-            jnp.zeros((), jnp.int32),
-        )
+        carry0 = self._make_carry(h, w)
 
         @jax.jit
         def loop(xs):
