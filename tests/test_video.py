@@ -280,3 +280,15 @@ def test_budgeted_temporal_promotion(rng):
     # the device-rate benchmark threads the same carry
     dev = seg_b.benchmark_adaptive_device_fps(seq, reps=1)
     assert dev["frames"] == 8 and dev["device_fps"] > 0
+
+    # device-resize serving: deltas and the carried previous frame stay at
+    # DECODE resolution; only the K selected frames are resized + forwarded
+    seg_r = VideoSegmenter(params, state, spec, [0.29, 0.33, 0.29],
+                           [0.18, 0.19, 0.18], temporal_thresh=5.0,
+                           temporal_budget=2, target_size=(128, 128), **mkw)
+    out_r = seg_r.run([A, A, B, B], warmup=False, need_color=False)
+    assert out_r["ids"].shape == (4, 128, 128)
+    assert out_r["promoted"] == 2  # A at 0 (first ever), B at 2
+    np.testing.assert_array_equal(out_r["ids"][1], out_r["ids"][0])
+    np.testing.assert_array_equal(out_r["ids"][3], out_r["ids"][2])
+    assert not np.array_equal(out_r["ids"][0], out_r["ids"][2])
