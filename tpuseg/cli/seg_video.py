@@ -85,6 +85,14 @@ def parse_args(argv=None):
                         "stretches cost ~no compute; cuts/motion promote "
                         "immediately.  Reports promotion_rate; measure "
                         "fidelity with --temporal-report")
+    p.add_argument("--temporal-warp", action="store_true",
+                   help="with --temporal N: motion-compensate the reused "
+                        "ids instead of copying them — per-block shifts "
+                        "estimated keyframe->frame on downsampled luma "
+                        "(block matching, one SAD volume per frame) and "
+                        "the keyframe's ids gathered along them.  Same "
+                        "keyframe compute; recovers agreement lost where "
+                        "the scene moved.  Frame dims must divide 128")
     p.add_argument("--temporal-budget", type=int, default=None, metavar="K",
                    help="with --temporal-thresh: budgeted batch promotion "
                         "— a cheap diff scan picks up to K content-chosen "
@@ -198,6 +206,7 @@ def main(argv=None):
         temporal_interval=args.temporal,
         temporal_thresh=args.temporal_thresh,
         temporal_budget=args.temporal_budget,
+        temporal_warp=args.temporal_warp,
         mesh=_build_mesh(args.mesh_devices),
     )
     if not os.path.exists(args.video):
@@ -229,6 +238,8 @@ def main(argv=None):
     }
     if args.temporal > 1:
         line["temporal_interval"] = args.temporal
+        if args.temporal_warp:
+            line["temporal_warp"] = True
     if args.temporal_thresh is not None:
         line["temporal_thresh"] = args.temporal_thresh
         line["promotion_rate"] = round(result["promotion_rate"], 4)

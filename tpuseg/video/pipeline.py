@@ -131,6 +131,7 @@ class VideoSegmenter:
         temporal_interval: int = 1,
         temporal_thresh: float | None = None,
         temporal_budget: int | None = None,
+        temporal_warp: bool = False,
         mesh=None,
     ):
         # ``temporal_interval=N`` exploits temporal redundancy (the
@@ -284,6 +285,15 @@ class VideoSegmenter:
         assert not (temporal_interval > 1 and temporal_thresh is not None), (
             "temporal_interval and temporal_thresh are mutually exclusive"
         )
+        # ``temporal_warp`` upgrades interval-mode reuse from copy to
+        # motion-compensated copy: per-block shifts estimated on pooled
+        # luma (tpuseg.video.flow), ids gathered along them.  Same device
+        # forwards; the extra work is one small SAD volume + one gather
+        # per frame.  Frame dims must divide the flow grid (128 px at the
+        # default factor=8, block=16 — checked at trace time).
+        assert not (temporal_warp and temporal_interval <= 1), (
+            "temporal_warp requires temporal_interval > 1 (interval mode)"
+        )
 
         def resize_frames(frames_u8):
             # frames_u8 is (B, H, W, 3) or FLAT (B, H, W*3) — the same bytes,
@@ -371,6 +381,19 @@ class VideoSegmenter:
             if temporal_interval > 1:
                 # each non-key frame reuses its preceding keyframe's ids
                 ids = jnp.repeat(ids, temporal_interval, axis=0)[:n_frames]
+                if temporal_warp:
+                    # motion-compensated reuse: estimate per-block shifts
+                    # keyframe -> frame on pooled luma and gather the ids
+                    # along them (tpuseg.video.flow) — recovers agreement
+                    # lost where the scene moved, at VPU-trivial cost
+                    from tpuseg.video.flow import warp_key_ids_to_frames
+
+                    key_px = jnp.repeat(
+                        frames_fwd, temporal_interval, axis=0
+                    )[:n_frames]
+                    ids = warp_key_ids_to_frames(
+                        ids, key_px, frames_u8, h, w
+                    )
             return outputs(ids, frames_u8, flat, h, w)
 
         def program_adaptive(params, bn_state, frames_u8, key_frame,
