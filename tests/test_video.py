@@ -296,9 +296,9 @@ def test_budgeted_temporal_promotion(rng):
 
 def test_flow_estimate_recovers_translation(rng):
     """Block matching finds an exact global integer translation: interior
-    blocks see a zero-SAD in-frame match at the true shift (the SAD
-    candidate stack is zero-padded, so only border blocks — whose rolled
-    ground truth wrapped — may differ)."""
+    blocks see a zero-SAD in-frame match at the true shift, clearing the
+    evidence gate (border blocks — whose rolled ground truth wrapped but
+    whose candidates see edge-replicated values — may differ)."""
     from tpuseg.video.flow import estimate_block_shifts
 
     img = rng.integers(0, 256, size=(2, 32, 32)).astype(np.float32)

@@ -61,6 +61,7 @@ def estimate_block_shifts(
     *,
     radius: int = 4,
     block: int = 16,
+    accept_frac: float = 0.7,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-block integer translation (dy, dx) minimizing SAD.
 
@@ -75,11 +76,18 @@ def estimate_block_shifts(
     border candidates |0 - value| ~ the full cell magnitude and pin
     every border block to shift 0; replicated edges keep off-frame
     comparisons at noise scale).  SAD block sums come from one
-    reshape-sum; argmin over the candidate axis picks the shift, with
-    the zero-shift candidate's SAD scaled by 0.98 so textureless
-    blocks (near-tied SADs, e.g. sky — where the TPU conv's bf16-level
-    rounding is the only signal) stay put instead of adopting
-    argmin's first-index candidate.
+    reshape-sum; argmin over the candidate axis picks the shift.
+
+    A winning shift is only ACCEPTED where its SAD beats the zero-shift
+    SAD by a clear margin (sad_best < accept_frac * sad_zero);
+    otherwise the block reports (0, 0).  This is the evidence gate that
+    makes the warp safe on slow content: sub-block true motion
+    quantizes to zero on the pooled grid, and without the gate,
+    estimation noise on textureless blocks (near-tied SADs — on TPU
+    the patch conv rounds at bf16 granularity, so ties are noise-deep)
+    actively moves ids that plain copying would have kept right
+    (measured on Road_1101: ungated warp 0.9672 agreement vs copy's
+    0.9763; fast-motion sample.mp4 still clears the gate).
     """
     assert key_small.ndim == 3, "expected (B, hs, ws)"
     b, hs, ws = key_small.shape
@@ -99,12 +107,14 @@ def estimate_block_shifts(
     sad = sad.reshape(b, k * k, hs // block, block, ws // block, block)
     sad = sad.sum(axis=(3, 5))  # (B, k*k, nby, nbx)
     center = radius * k + radius  # the (0, 0) candidate
-    sad = sad.at[:, center].multiply(0.98)
     best = jnp.argmin(sad, axis=1)  # (B, nby, nbx)
+    accept = (
+        jnp.min(sad, axis=1) < accept_frac * sad[:, center]
+    )
     # cur[y,x] ~= key[y + oy - r, x + ox - r] = key[y - dy, x - dx]
     #   => dy = r - oy, dx = r - ox
-    dy = radius - best // k
-    dx = radius - best % k
+    dy = jnp.where(accept, radius - best // k, 0)
+    dx = jnp.where(accept, radius - best % k, 0)
     return dy.astype(jnp.int32), dx.astype(jnp.int32)
 
 
