@@ -398,3 +398,31 @@ def test_temporal_warp_pipeline(rng):
     # keyframes themselves are exact in both modes
     np.testing.assert_array_equal(out_m["ids"][0], full_m["ids"][0])
     np.testing.assert_array_equal(out_m["ids"][2], full_m["ids"][2])
+
+
+def test_mesh_temporal_warp_serving(rng):
+    """interval + warp under a Mesh('data'): the flow chain (cross-shard
+    keyframe repeat, pooled-luma SAD, roll+select warp) partitions under
+    GSPMD and matches the single-device program exactly (8 virtual CPU
+    devices)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import VideoSegmenter
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    kw = dict(compute_dtype=None, batch=8, temporal_interval=2,
+              temporal_warp=True)
+    A = rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+    frames = [np.roll(A, (8 * i, -8 * i), axis=(0, 1)) for i in range(8)]
+    args = (params, state, spec, [0.29, 0.33, 0.29], [0.18, 0.19, 0.18])
+    mesh = Mesh(np.asarray(devs[:8]), ("data",))
+    out_m = VideoSegmenter(*args, mesh=mesh, **kw).run(
+        frames, warmup=False, need_color=False)
+    out_1 = VideoSegmenter(*args, **kw).run(
+        frames, warmup=False, need_color=False)
+    np.testing.assert_array_equal(out_m["ids"], out_1["ids"])
