@@ -165,3 +165,30 @@ def test_train_orbax_ckpt_and_resume(mini_cityscapes, tmp_path):
         "--save-dir", save, "--ckpt-format", "orbax", "--resume", ckpt,
     ])
     assert load_checkpoint(ckpt)[4]["epoch"] == 2
+
+
+@pytest.mark.slow
+def test_seg_video_temporal_warp(capsys):
+    """seg_video --temporal 2 --temporal-warp --temporal-report: the
+    motion-compensated reuse mode runs end to end on real video and
+    reports its fidelity."""
+    import json as _json
+    import os
+
+    video = "/root/reference/sample.mp4"
+    if not os.path.exists(video):
+        pytest.skip("reference sample video absent")
+
+    from tpuseg.cli.seg_video import main
+
+    main([
+        "--video", video, "--size", "128x128", "--frames", "8",
+        "--batch", "4", "--temporal", "2", "--temporal-warp",
+        "--temporal-report",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    result = _json.loads(out[-1])
+    assert result["frames"] == 8
+    assert result["temporal_interval"] == 2
+    assert result["temporal_warp"] is True
+    assert 0.0 < result["temporal_ids_agreement"] <= 1.0
