@@ -129,7 +129,9 @@ def warp_ids(
 ) -> jax.Array:
     """Warp (B, H, W) keyframe ids by per-block shifts estimated at
     1/``scale`` resolution with ``block``-px blocks:
-    out[b, y, x] = key_ids[b, y - dy*scale, x - dx*scale].
+    out[b, y, x] = key_ids[b, y - dy'*scale, x - dx*scale], where dx is
+    the block's shift at (y, x) and dy' is the shift at the SOURCE
+    column (y, x - dx*scale).
 
     Separable roll+select: for each candidate shift s in
     [-radius, radius], roll the map by s*scale and select it where the
@@ -139,18 +141,33 @@ def warp_ids(
     per-pixel index gather is the obvious formulation but lowers to a
     scalar path inside serving loops on this toolchain (465 ms/batch
     measured vs 3 ms for this form).
+
+    The dy' source-column composition is the price of separability:
+    shift fields are block-piecewise-constant, so dy' == dy everywhere
+    except within radius*scale px (32 at serving defaults) of a
+    VERTICAL block seam whose neighbors disagree on dy — where the
+    block-translation model is itself already approximate.  The exact
+    per-pixel form needs the (2r+1)^2 joint select (~160 in-scan ops,
+    ~65 ms/batch at the measured ~0.4 ms/op — not worth it).  Blocks
+    whose shift falls outside [-radius, radius] (only possible when the
+    caller estimated with a larger radius than it warps with) fall back
+    to the unwarped copy rather than emitting class-0 garbage.
     """
     b, h, w = key_ids.shape
     up = scale * block  # full-res block edge
     assert h % up == 0 and w % up == 0, (h, w, up)
     dy_full = jnp.repeat(jnp.repeat(dy_blocks, up, axis=1), up, axis=2)
     dx_full = jnp.repeat(jnp.repeat(dx_blocks, up, axis=1), up, axis=2)
-    out = jnp.zeros_like(key_ids)
+    out = key_ids  # s == 0 keeps the copy; unmatched shifts ditto
     for s in range(-radius, radius + 1):
+        if s == 0:
+            continue
         out = jnp.where(dy_full == s,
                         jnp.roll(key_ids, s * scale, axis=1), out)
-    out2 = jnp.zeros_like(key_ids)
+    out2 = out
     for s in range(-radius, radius + 1):
+        if s == 0:
+            continue
         out2 = jnp.where(dx_full == s,
                          jnp.roll(out, s * scale, axis=2), out2)
     return out2

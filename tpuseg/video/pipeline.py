@@ -294,6 +294,9 @@ class VideoSegmenter:
         assert not (temporal_warp and temporal_interval <= 1), (
             "temporal_warp requires temporal_interval > 1 (interval mode)"
         )
+        assert temporal_budget is None or temporal_thresh is not None, (
+            "temporal_budget requires temporal_thresh"
+        )
 
         def resize_frames(frames_u8):
             # frames_u8 is (B, H, W, 3) or FLAT (B, H, W*3) — the same bytes,
@@ -383,17 +386,26 @@ class VideoSegmenter:
                 ids = jnp.repeat(ids, temporal_interval, axis=0)[:n_frames]
                 if temporal_warp:
                     # motion-compensated reuse: estimate per-block shifts
-                    # keyframe -> frame on pooled luma and gather the ids
+                    # keyframe -> frame on pooled luma and shift the ids
                     # along them (tpuseg.video.flow) — recovers agreement
-                    # lost where the scene moved, at VPU-trivial cost
-                    from tpuseg.video.flow import warp_key_ids_to_frames
-
-                    key_px = jnp.repeat(
-                        frames_fwd, temporal_interval, axis=0
-                    )[:n_frames]
-                    ids = warp_key_ids_to_frames(
-                        ids, key_px, frames_u8, h, w
+                    # lost where the scene moved, at VPU-trivial cost.
+                    # Keyframe luma is pooled ONCE per keyframe and the
+                    # small (B/N, h/8, w/8) maps repeated, instead of
+                    # repeating full-res keyframe pixels and re-pooling
+                    # them N times
+                    from tpuseg.video.flow import (
+                        downsample_luma,
+                        estimate_block_shifts,
+                        warp_ids,
                     )
+
+                    ks = jnp.repeat(
+                        downsample_luma(frames_fwd, h, w, 8),
+                        temporal_interval, axis=0,
+                    )[:n_frames]
+                    cs = downsample_luma(frames_u8, h, w, 8)
+                    dy, dx = estimate_block_shifts(ks, cs)
+                    ids = warp_ids(ids, dy, dx, scale=8, block=16)
             return outputs(ids, frames_u8, flat, h, w)
 
         def program_adaptive(params, bn_state, frames_u8, key_frame,
