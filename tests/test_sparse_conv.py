@@ -181,11 +181,24 @@ def test_int8_fused_sparse_conv_matches_masked_dense():
     plan = plan_fused_sparse_conv(w * mask, mask, dilation=DIL)
     for x_scale in (None, 0.05):  # dynamic and static activation scales
         qplan = quantize_fused_plan(plan, x_scale=x_scale)
-        x = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+        # batch 3 with per-frame magnitudes: dynamic mode computes one
+        # scale PER FRAME (outputs must not depend on batch composition,
+        # and the kernel must dequantize each frame with its own scale)
+        x = rng.normal(size=(3, H, W, C)).astype(np.float32)
+        x *= np.asarray([0.5, 1.0, 2.0])[:, None, None, None]
+        x = jnp.asarray(x)
         y = fused_sparse_conv_apply_q(x, qplan)
         ref = conv2d(x, jnp.asarray(w * mask), 1, DIL, DIL)
-        rel = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
-        assert rel < 0.05, (x_scale, rel)  # two-sided int8 rounding
+        for i in range(3):
+            rel = float(jnp.max(jnp.abs(y[i] - ref[i]))
+                        / jnp.max(jnp.abs(ref[i])))
+            assert rel < 0.05, (x_scale, i, rel)  # two-sided int8 rounding
+        if x_scale is None:
+            # per-frame dynamic scale: a frame's result is identical when
+            # served alone (no batch-composition dependence)
+            y0 = fused_sparse_conv_apply_q(x[:1], qplan)
+            np.testing.assert_array_equal(np.asarray(y0[0]),
+                                          np.asarray(y[0]))
 
 
 @pytest.mark.parametrize("dilation", [1, 2])

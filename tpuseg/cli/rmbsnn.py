@@ -276,7 +276,8 @@ def main(argv=None):
 
             host_params = jax.tree.map(np.asarray, ts.params)
             if isinstance(spec, CifarSpec):
-                plans = build_cls_quant_plans(host_params)
+                plans = build_cls_quant_plans(
+                    host_params, groups=getattr(spec, "groups", 1))
                 q_fwd = jax.jit(lambda p, s, x: cifar_forward(
                     p, s, x, spec, train=False, compute_dtype=compute_dtype,
                     plans=plans)[0])
@@ -296,7 +297,8 @@ def main(argv=None):
                 "pred_agreement": round(float(
                     (q_logits.argmax(-1) == logits.argmax(-1)).mean()), 4),
             })
-        print(json.dumps(out))
+        if is_main:  # one result line, not one per process
+            print(json.dumps(out))
         return
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -315,9 +317,11 @@ def main(argv=None):
         top1, top5 = validate()
         is_best = top1 > best_acc1
         best_acc1 = max(best_acc1, top1)
-        # rank-0-only save, like the reference's DDP guard
-        # (rmbsnn_main.py:414-415)
-        if is_main:
+        # npz: rank-0-only save, like the reference's DDP guard
+        # (rmbsnn_main.py:414-415).  orbax: EVERY process must call save —
+        # its commit protocol runs cross-process barriers and elects the
+        # writer itself; a rank-0 guard would deadlock process 0
+        if is_main or args.ckpt_format == "orbax":
             save_checkpoint(
                 join(args.save_dir, "checkpoint." + args.ckpt_format),
                 ts.params, ts.bn_state, opt_state=ts.opt_state, masks=ts.masks,
@@ -326,6 +330,7 @@ def main(argv=None):
                 is_best=is_best,
                 async_save=(args.ckpt_format == "orbax"),
             )
+        if is_main:
             print(json.dumps({
                 "epoch": epoch, "train_loss": round(losses.avg, 4),
                 "train_acc": round(accs.avg, 3), "acc1": round(top1, 3),

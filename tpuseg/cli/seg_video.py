@@ -108,8 +108,8 @@ def parse_args(argv=None):
                         "both fps")
     p.add_argument("--mesh-devices", type=int, default=0, metavar="N",
                    help="serve data-parallel over the first N local devices "
-                        "(batch-dim sharding over a Mesh('data'); --batch "
-                        "must divide N; 0 = single device).  Not combinable "
+                        "(batch-dim sharding over a Mesh('data'); N must "
+                        "divide --batch; 0 = single device).  Not combinable "
                         "with --pr-config-path or --temporal-thresh")
     p.add_argument("--mean", default="0.290,0.328,0.287")
     p.add_argument("--std", default="0.183,0.187,0.184")

@@ -340,9 +340,17 @@ def cmd_train(args):
             if n_proc > 1:
                 from jax.experimental import multihost_utils
 
-                hist = np.asarray(
-                    multihost_utils.process_allgather(hist)
-                ).sum(axis=0)
+                # process_allgather routes through jnp.asarray, which
+                # silently narrows int64 -> int32 with x64 disabled —
+                # large pixel counts would wrap.  Gather the matrix as
+                # two int32 halves and recombine exactly.
+                lo = (hist & 0x7FFFFFFF).astype(np.int32)
+                hi = (hist >> 31).astype(np.int32)
+                glo, ghi = multihost_utils.process_allgather((lo, hi))
+                hist = (
+                    np.asarray(glo, np.int64).sum(axis=0)
+                    + (np.asarray(ghi, np.int64).sum(axis=0) << 31)
+                )
             miou = miou_from_hist(hist)
             line["val_miou"] = round(miou, 3)
             # reference baseline's independent pixel-accuracy report
@@ -358,7 +366,12 @@ def cmd_train(args):
         # semantic_seg.py:1085-1092; saving only at eval epochs would lose
         # up to eval_every-1 epochs on preemption); writes are atomic
         # (tmp + rename) so kill-mid-save leaves the previous file intact
-        if is_main:
+        # npz: rank-0 writes the file (the other replicas hold identical
+        # params).  orbax: EVERY process must call save — its commit
+        # protocol runs cross-process barriers and elects the writer
+        # itself (tpuseg/train/orbax_ckpt.py); a rank-0 guard would leave
+        # process 0 blocked on a barrier the others never reach
+        if is_main or args.ckpt_format == "orbax":
             save_checkpoint(
                 join(args.save_dir, "checkpoint." + args.ckpt_format),
                 ts.params, ts.bn_state,

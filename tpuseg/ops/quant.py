@@ -141,6 +141,7 @@ def build_cls_quant_plans(
     *,
     min_channels: int = 16,
     x_scales: dict[str, float] | None = None,
+    groups: int = 1,
 ) -> dict[str, QuantConv]:
     """Quantize the eligible convs of a CLASSIFIER param dict (the cifar/
     tvresnet zoo) for ``cifar_forward(..., plans=...)`` dispatch — the
@@ -152,6 +153,11 @@ def build_cls_quant_plans(
     dilation is 1 — true for every conv in the zoo.  The 3-channel input
     stem is excluded by the channel floor.  Stride is baked as 1; the
     forward's dispatch skips plans at stride-2 call sites.
+
+    Pass the spec's ``groups`` for resnext-style archs: their grouped
+    3x3 convs (HWIO cin = cout/groups) can never dispatch (``_pconv``
+    only applies plans at groups == 1), so building plans for them
+    would waste memory and overstate the reported int8 coverage.
     """
     plans: dict[str, QuantConv] = {}
     for key, w in params.items():
@@ -162,6 +168,8 @@ def build_cls_quant_plans(
             continue
         if w.shape[2] < min_channels or w.shape[3] < min_channels:
             continue
+        if groups > 1 and w.shape[0] == 3 and w.shape[2] * groups == w.shape[3]:
+            continue  # grouped bottleneck conv2 — undispatchable
         name = key[: -len(".weight")]
         wq, ws = quantize_weight(w.astype(np.float32))
         plans[name] = QuantConv(

@@ -590,7 +590,8 @@ def fused_phase_sparse_conv_apply(
             for q in range(k)
         ]
     )  # (k, n, h+2p, w_, cin)
-    taps_np = plan.taps
+    # tap order is hard-assumed row-major (p*dil, q*dil) via
+    # divmod below; plan.taps is not consulted here
 
     def kernel_fn(rows_ref, vals_ref, xpd_hbm, y_ref, xg, sem):
         ij = pl.program_id(0)
@@ -858,7 +859,8 @@ def cphase_sparse_conv_apply(
             for q in range(k)
         ]
     )
-    taps_np = plan.taps
+    # tap order is hard-assumed row-major (p*dil, q*dil) via
+    # divmod below; plan.taps is not consulted here
 
     def kernel_fn(rows_ref, vals_ref, xpd_hbm, y_ref, xg, xm, sem):
         ij = pl.program_id(0)
@@ -991,7 +993,8 @@ def phase_sparse_conv_apply(
             for q in range(k)
         ]
     )
-    taps_np = plan.taps
+    # tap order is hard-assumed row-major (p*dil, q*dil) via
+    # divmod below; plan.taps is not consulted here
     rows = plan.rows
 
     def kernel_fn(vals_ref, xpd_hbm, y_ref, xg, sem):
@@ -1305,7 +1308,7 @@ def fused_sparse_conv_apply_q(
         f"int8 fused sparse conv tile too large (~{est/2**20:.1f} MB)")
     xp = jnp.pad(xq, ((0, 0), (pad, pad), (pad, wp - w_ - pad), (0, 0)))
     taps_np = plan.taps
-    xs_arr = xs.reshape(1, 1)
+    xs_arr = xs.reshape(n, 1)  # per-frame scales, indexed by nb in-kernel
 
     def kernel_fn(rows_ref, xsc_ref, vals_ref, wsc_ref, xp_hbm, y_ref,
                   xg, sem):
@@ -1346,7 +1349,7 @@ def fused_sparse_conv_apply_q(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        y = acc.astype(jnp.float32) * (xsc_ref[0, 0] * wsc_ref[0, 0])
+        y = acc.astype(jnp.float32) * (xsc_ref[nb, 0] * wsc_ref[0, 0])
         y_ref[:] = y.reshape(1, R, w_, bm).astype(y_ref.dtype)
 
     nmb = plan.cout // bm
@@ -1355,8 +1358,7 @@ def fused_sparse_conv_apply_q(
         grid=(n * (h // R), nmb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # rows
-            pl.BlockSpec((1, 1), lambda ij, jb: (0, 0),
-                         memory_space=pltpu.SMEM),       # x scale
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # per-frame x scales
             pl.BlockSpec((1, T * S * bk, bm), lambda ij, jb: (jb, 0, 0)),
             pl.BlockSpec((1, 1, bm), lambda ij, jb: (jb, 0, 0)),  # w scales
             pl.BlockSpec(memory_space=pltpu.HBM),

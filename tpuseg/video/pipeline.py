@@ -621,7 +621,7 @@ class VideoSegmenter:
         t_wall0 = None
 
         adaptive = self.temporal_thresh is not None
-        promoted_counts = []
+        promoted_flags = []  # per-frame, truncated with ids below
 
         def init_carry(arr):
             h = arr.shape[1]
@@ -686,7 +686,7 @@ class VideoSegmenter:
         def collect(flight):
             (ids, color, overlay), n, t0, frames_host, promoted = flight
             if promoted is not None:
-                promoted_counts.append(int(np.asarray(promoted)[:n].sum()))
+                promoted_flags.append(np.asarray(promoted)[:n])
             ids = np.asarray(ids)  # forces completion (device->host)
             if not need_color:
                 color = None
@@ -762,7 +762,13 @@ class VideoSegmenter:
             "batch_times": batch_times,
         }
         if adaptive:
-            out["promoted"] = sum(promoted_counts)
+            # count promotions over exactly the RETURNED frames: a
+            # max_frames break can leave already-collected flights beyond
+            # the cut, and counting their promotions against a clamped
+            # denominator would overstate the rate (even past 1.0)
+            flags = (np.concatenate(promoted_flags)[:total_n]
+                     if promoted_flags else np.zeros((0,), bool))
+            out["promoted"] = int(flags.sum())
             out["promotion_rate"] = (
                 out["promoted"] / total_n if total_n else 0.0
             )
