@@ -132,3 +132,43 @@ def test_rmbsnn_mesh_runs(tmp_path):
         "--epochs", "1", "--save-dir", save, "--arch", "cifar_resnet20",
     ])
     assert os.path.exists(os.path.join(save, "checkpoint.npz"))
+
+
+@pytest.mark.slow
+def test_two_process_orbax_checkpoint(tmp_path):
+    """--ckpt-format orbax under two processes: orbax's commit protocol
+    runs cross-process barriers, so EVERY process must call save — a
+    rank-0-only guard deadlocks rank 0 on a barrier the others never
+    reach (regression: the CLIs guarded orbax saves with is_main)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    save = str(tmp_path / "mh_orbax")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["TPUSEG_PLATFORM"] = "cpu"
+    env["TPUSEG_NUM_CPU_DEVICES"] = "1"
+    base = [
+        sys.executable, "-m", "tpuseg.cli.semantic_seg", "train",
+        "--synthetic", "8", "-s", "32", "--batch-size", "4",
+        "--epochs", "1", "--dtype", "float32", "--save-dir", save,
+        "--eval-every", "1", "--ckpt-format", "orbax",
+        "--coordinator", f"localhost:{port}", "--num-processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            base + ["--process-id", str(i)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in (0, 1)
+    ]
+    # a deadlocked save would hang here until the timeout
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out[-3000:]}"
+    from tpuseg.train import load_checkpoint
+
+    params, state, _, _, meta = load_checkpoint(
+        os.path.join(save, "checkpoint.orbax"))
+    assert meta["epoch"] == 1
+    assert all(np.all(np.isfinite(v)) for v in params.values())

@@ -31,6 +31,7 @@ import os
 import shutil
 from typing import Any, Mapping
 
+import jax
 import numpy as np
 
 
@@ -75,17 +76,30 @@ def save_checkpoint_orbax(
     ).copy()
     path = os.path.abspath(path)
     ckptr = _checkpointer(async_save)
+    # every process calls save (orbax's commit protocol is collective),
+    # but plain filesystem ops around it — replace-rmtree and the
+    # best-copy — are rank-0-only, with a barrier so no process enters
+    # orbax's save while the old tree is still being deleted
+    is_primary = jax.process_index() == 0
     if os.path.exists(path):  # orbax refuses to overwrite; match npz replace
-        ckptr.wait_until_finished() if async_save else None
-        shutil.rmtree(path)
+        if async_save:
+            ckptr.wait_until_finished()
+        if is_primary:
+            shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tpuseg_ckpt_replace")
     ckptr.save(path, arrays)
     if is_best:
         if async_save:
             ckptr.wait_until_finished()
-        best = os.path.join(os.path.dirname(path), "checkpoint_best.orbax")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+        if is_primary:
+            best = os.path.join(
+                os.path.dirname(path), "checkpoint_best.orbax")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
 
 
 def wait_for_saves() -> None:
