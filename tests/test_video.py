@@ -426,3 +426,34 @@ def test_mesh_temporal_warp_serving(rng):
     out_1 = VideoSegmenter(*args, **kw).run(
         frames, warmup=False, need_color=False)
     np.testing.assert_array_equal(out_m["ids"], out_1["ids"])
+
+
+def test_flow_warp_ids_seam_and_range_semantics(rng):
+    """Pins warp_ids' documented contract at non-uniform shift fields:
+    out[y, x] = key[y - dy'*scale, x - dx*scale] with dy' sampled at the
+    SOURCE column (y, x - dx*scale) — the separable-select composition —
+    and out-of-range block shifts degrading to the unwarped copy."""
+    from tpuseg.video.flow import warp_ids
+
+    ids = rng.integers(0, 19, size=(1, 32, 32)).astype(np.uint8)
+    # two vertical block columns (block=4, scale=4 -> 16-px blocks):
+    # left block (0,0), right block (dy,dx)=(2,-1)
+    dy = jnp.asarray(np.array([[[0, 2], [0, 2]]]), jnp.int32)
+    dx = jnp.asarray(np.array([[[0, -1], [0, -1]]]), jnp.int32)
+    out = np.asarray(warp_ids(jnp.asarray(ids), dy, dx,
+                              scale=4, block=4, radius=4))[0]
+    a = ids[0]
+    for y in range(32):
+        for x in range(32):
+            dx_here = 0 if x < 16 else -1
+            sx = (x - dx_here * 4) % 32
+            dy_src = 0 if sx < 16 else 2  # dy at the SOURCE column
+            sy = (y - dy_src * 4) % 32
+            assert out[y, x] == a[sy, sx], (y, x)
+
+    # a shift outside the warp radius keeps the plain copy
+    big = jnp.asarray(np.array([[[0, 7], [0, 7]]]), jnp.int32)
+    out2 = np.asarray(warp_ids(jnp.asarray(ids), big, dx * 0,
+                               scale=4, block=4, radius=4))[0]
+    np.testing.assert_array_equal(out2[:, 16:], a[:, 16:])
+    np.testing.assert_array_equal(out2[:, :16], a[:, :16])
