@@ -457,3 +457,54 @@ def test_flow_warp_ids_seam_and_range_semantics(rng):
                                scale=4, block=4, radius=4))[0]
     np.testing.assert_array_equal(out2[:, 16:], a[:, 16:])
     np.testing.assert_array_equal(out2[:, :16], a[:, :16])
+
+
+def test_budget_temporal_warp(rng):
+    """budget mode + temporal_warp: identical frames match the unwarped
+    budget program exactly (zero-shift warp is the identity); a
+    beyond-budget translated frame gets its keyframe's ids shifted along
+    the recovered motion; the decode->target non-integer scale path
+    (pooled-luma resize) produces target-grid shifts."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    args = (params, state, spec, [0.29, 0.33, 0.29], [0.18, 0.19, 0.18])
+    A = rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+    B = rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+    kw = dict(compute_dtype=None, batch=4, temporal_thresh=5.0,
+              temporal_budget=2)
+    static = [A, A, B, B]
+    out_w = VideoSegmenter(*args, temporal_warp=True, **kw).run(
+        static, warmup=False, need_color=False)
+    out_c = VideoSegmenter(*args, **kw).run(
+        static, warmup=False, need_color=False)
+    np.testing.assert_array_equal(out_w["ids"], out_c["ids"])
+    assert out_w["promoted"] == out_c["promoted"] == 2
+
+    # budget pressure + translation: [A, A2, A2, A2] with K=1 promotes
+    # only A; the reused ids must be A's ids shifted by the motion
+    A2 = np.roll(A, (8, -16), axis=(0, 1))
+    seg_p = VideoSegmenter(*args, temporal_warp=True,
+                           compute_dtype=None, batch=4,
+                           temporal_thresh=5.0, temporal_budget=1)
+    out_p = seg_p.run([A, A2, A2, A2], warmup=False, need_color=False)
+    assert out_p["promoted"] == 1
+    want = np.roll(out_p["ids"][0], (8, -16), axis=(0, 1))
+    for i in (1, 2, 3):
+        np.testing.assert_array_equal(
+            out_p["ids"][i][16:-16, 16:-16], want[16:-16, 16:-16])
+
+    # device-resize serving (decode 64x64 -> target 128x128): the luma
+    # maps pool at decode res and resize to the target /8 grid; static
+    # frames still match the unwarped program exactly
+    a = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    rkw = dict(compute_dtype=None, batch=4, temporal_thresh=5.0,
+               temporal_budget=2, target_size=(128, 128))
+    out_rw = VideoSegmenter(*args, temporal_warp=True, **rkw).run(
+        [a, a, b, b], warmup=False, need_color=False)
+    out_rc = VideoSegmenter(*args, **rkw).run(
+        [a, a, b, b], warmup=False, need_color=False)
+    assert out_rw["ids"].shape == (4, 128, 128)
+    np.testing.assert_array_equal(out_rw["ids"], out_rc["ids"])

@@ -86,13 +86,16 @@ def parse_args(argv=None):
                         "immediately.  Reports promotion_rate; measure "
                         "fidelity with --temporal-report")
     p.add_argument("--temporal-warp", action="store_true",
-                   help="with --temporal N: motion-compensate the reused "
+                   help="with --temporal N, or with --temporal-thresh + "
+                        "--temporal-budget: motion-compensate the reused "
                         "ids instead of copying them — per-block shifts "
-                        "estimated keyframe->frame on downsampled luma "
-                        "(block matching, one SAD volume per frame) and "
-                        "the keyframe's ids gathered along them.  Same "
-                        "keyframe compute; recovers agreement lost where "
-                        "the scene moved.  Frame dims must divide 128")
+                        "estimated keyframe->frame on pooled luma (block "
+                        "matching, one SAD volume per batch, evidence-"
+                        "gated) and the keyframe's ids shifted along "
+                        "them.  Same keyframe compute; recovers agreement "
+                        "lost to motion on translation-dominant content "
+                        "(measured +0.9-1.3pt on sample.mp4, neutral on "
+                        "slow scenes).  Target dims must divide 128")
     p.add_argument("--temporal-budget", type=int, default=None, metavar="K",
                    help="with --temporal-thresh: budgeted batch promotion "
                         "— a cheap diff scan picks up to K content-chosen "
@@ -245,6 +248,8 @@ def main(argv=None):
         line["promotion_rate"] = round(result["promotion_rate"], 4)
         if args.temporal_budget is not None:
             line["temporal_budget"] = args.temporal_budget
+            if args.temporal_warp:
+                line["temporal_warp"] = True
     if args.device_fps:
         if args.temporal_thresh is not None:
             # adaptive device rate is content-dependent: measure on the

@@ -285,14 +285,20 @@ class VideoSegmenter:
         assert not (temporal_interval > 1 and temporal_thresh is not None), (
             "temporal_interval and temporal_thresh are mutually exclusive"
         )
-        # ``temporal_warp`` upgrades interval-mode reuse from copy to
+        # ``temporal_warp`` upgrades temporal reuse from copy to
         # motion-compensated copy: per-block shifts estimated on pooled
-        # luma (tpuseg.video.flow), ids gathered along them.  Same device
-        # forwards; the extra work is one small SAD volume + one gather
-        # per frame.  Frame dims must divide the flow grid (128 px at the
-        # default factor=8, block=16 — checked at trace time).
-        assert not (temporal_warp and temporal_interval <= 1), (
-            "temporal_warp requires temporal_interval > 1 (interval mode)"
+        # luma (tpuseg.video.flow), ids shifted along them.  Same device
+        # forwards; the extra work is one small SAD volume + the
+        # roll+select warp per batch.  Valid with interval mode and with
+        # budgeted batch promotion (the sequential thresh-only scan has
+        # no batched warp point).  Target dims must divide the flow grid
+        # (128 px at factor=8, block=16 — checked at trace time).
+        assert not temporal_warp or (
+            temporal_interval > 1
+            or (temporal_thresh is not None and temporal_budget is not None)
+        ), (
+            "temporal_warp requires interval mode (temporal_interval > 1) "
+            "or budgeted adaptive mode (temporal_thresh + temporal_budget)"
         )
         assert temporal_budget is None or temporal_thresh is not None, (
             "temporal_budget requires temporal_thresh"
@@ -444,7 +450,7 @@ class VideoSegmenter:
                     (key_frame, key_ids, n_keyed))
 
         def program_budget(params, bn_state, frames_u8, prev_frame,
-                           key_ids, acc0, n_keyed):
+                           key_ids, acc0, n_keyed, key_luma=None):
             """Budgeted batch promotion: vectorized change detection +
             scalar selection scan + ONE batched K-frame forward.
 
@@ -513,17 +519,56 @@ class VideoSegmenter:
             )
             # every frame carries its keyframe's ids, so the last frame's
             # ids ARE the live keyframe's ids; the drift accumulator and
-            # the last (raw) frame (for the next batch's d[0]) carry over
+            # the last (raw) frame (for the next batch's d[0]) carry over.
+            # The carry snapshots the RAW keyframe ids BEFORE warping —
+            # the warp is an output transform, not part of the key state
             key_ids = ids[-1]
+            carry = [frames_u8[-1], key_ids, acc0, n_keyed]
+            if temporal_warp:
+                # motion-compensate the reused ids.  The decode->target
+                # scale is generally non-integer, so motion is estimated
+                # on luma pooled at DECODE resolution and the tiny pooled
+                # maps are resized to the target /8 grid — both keyframe
+                # and current luma go through the same path, so the SAD
+                # stays apples-to-apples and shift units are target-grid
+                # blocks natively.  Costs one pooled pass over the raw
+                # batch + the SAD/select chain (~4 ms/batch at 1024x2048
+                # batch 32); the forwards are untouched
+                from tpuseg.video.flow import (
+                    downsample_luma,
+                    estimate_block_shifts,
+                    warp_ids as flow_warp_ids,
+                )
+
+                hd, wd = frames_u8.shape[1], frames_u8.shape[2] // 3
+                assert hd % 8 == 0 and wd % 8 == 0, (
+                    f"temporal_warp needs decode dims divisible by 8, "
+                    f"got {hd}x{wd}"
+                )
+                small = downsample_luma(frames_u8, hd, wd, 8).astype(
+                    jnp.float32)
+                th, tw = ids.shape[1], ids.shape[2]
+                if small.shape[1:] != (th // 8, tw // 8):
+                    small = jax.image.resize(
+                        small, (nb, th // 8, tw // 8), method="bilinear")
+                key_small = jnp.where(
+                    (keyslot >= 0)[:, None, None],
+                    small[fwd_idx][jnp.clip(keyslot, 0, K - 1)],
+                    key_luma[None],
+                )
+                dy, dx = estimate_block_shifts(key_small, small)
+                ids = flow_warp_ids(ids, dy, dx, scale=8, block=16)
+                carry.append(key_small[-1])  # live keyframe's luma
             if device_outputs:
                 frames_t, flat_t, _, _ = resize_frames(frames_u8)
                 out = outputs(ids, frames_t, flat_t, h, w)
             else:
                 out = (ids, ids, ids)
-            return (out, flags, (frames_u8[-1], key_ids, acc0, n_keyed))
+            return (out, flags, tuple(carry))
 
         self.temporal_thresh = temporal_thresh
         self.temporal_budget = temporal_budget
+        self._temporal_warp = temporal_warp
         self.target_size = target_size
         self._carry = None  # adaptive mode: persists across run() batches
         self._frames_sharding = None
@@ -580,14 +625,18 @@ class VideoSegmenter:
         both at the POST-resize shape (its scan diffs resized frames).
         Budget mode carries (previous frame pixels at DECODE shape — the
         consecutive deltas read raw frames —, live keyframe ids at the
-        post-resize shape, accumulated drift, n_keyed)."""
+        post-resize shape, accumulated drift, n_keyed[, live keyframe's
+        pooled luma at the target /8 grid when warping])."""
         th, tw = (self.target_size if self.target_size is not None
                   else (h, w))
         ids = jnp.zeros((th, tw), jnp.uint8)
         n = jnp.zeros((), jnp.int32)
         if self.temporal_budget is not None:
-            return (jnp.zeros((h, w * 3), jnp.uint8), ids,
-                    jnp.zeros((), jnp.float32), n)
+            carry = (jnp.zeros((h, w * 3), jnp.uint8), ids,
+                     jnp.zeros((), jnp.float32), n)
+            if self._temporal_warp:
+                carry += (jnp.zeros((th // 8, tw // 8), jnp.float32),)
+            return carry
         return (jnp.zeros((th, tw * 3), jnp.uint8), ids, n)
 
     def run(
