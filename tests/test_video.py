@@ -502,9 +502,13 @@ def test_budget_temporal_warp(rng):
     b = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
     rkw = dict(compute_dtype=None, batch=4, temporal_thresh=5.0,
                temporal_budget=2, target_size=(128, 128))
-    out_rw = VideoSegmenter(*args, temporal_warp=True, **rkw).run(
-        [a, a, b, b], warmup=False, need_color=False)
+    seg_rw = VideoSegmenter(*args, temporal_warp=True, **rkw)
+    out_rw = seg_rw.run([a, a, b, b], warmup=False, need_color=False)
     out_rc = VideoSegmenter(*args, **rkw).run(
         [a, a, b, b], warmup=False, need_color=False)
     assert out_rw["ids"].shape == (4, 128, 128)
     np.testing.assert_array_equal(out_rw["ids"], out_rc["ids"])
+
+    # the on-device rate benchmark threads the extended (luma) carry
+    dev = seg_rw.benchmark_adaptive_device_fps([a, a, b, b], reps=1)
+    assert dev["frames"] == 4 and dev["device_fps"] > 0
