@@ -192,3 +192,30 @@ def test_seg_video_temporal_warp(capsys):
     assert result["temporal_interval"] == 2
     assert result["temporal_warp"] is True
     assert 0.0 < result["temporal_ids_agreement"] <= 1.0
+
+
+@pytest.mark.slow
+def test_seg_video_budget_warp(capsys):
+    """seg_video --temporal-thresh --temporal-budget --temporal-warp: the
+    motion-compensated budgeted mode runs end to end on real video."""
+    import json as _json
+    import os
+
+    video = "/root/reference/sample.mp4"
+    if not os.path.exists(video):
+        pytest.skip("reference sample video absent")
+
+    from tpuseg.cli.seg_video import main
+
+    main([
+        "--video", video, "--size", "128x128", "--frames", "8",
+        "--batch", "4", "--temporal-thresh", "8",
+        "--temporal-budget", "2", "--temporal-warp", "--temporal-report",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    result = _json.loads(out[-1])
+    assert result["frames"] == 8
+    assert result["temporal_budget"] == 2
+    assert result["temporal_warp"] is True
+    assert 0.0 < result["temporal_ids_agreement"] <= 1.0
+    assert 0.0 < result["promotion_rate"] <= 1.0

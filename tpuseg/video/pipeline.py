@@ -541,12 +541,13 @@ class VideoSegmenter:
                 )
 
                 hd, wd = frames_u8.shape[1], frames_u8.shape[2] // 3
-                assert hd % 8 == 0 and wd % 8 == 0, (
-                    f"temporal_warp needs decode dims divisible by 8, "
-                    f"got {hd}x{wd}"
-                )
-                small = downsample_luma(frames_u8, hd, wd, 8).astype(
-                    jnp.float32)
+                # decode dims need not divide the pooling factor (e.g.
+                # 640x1138): crop the <8-px remainder — motion estimation
+                # does not care about a trailing sliver, and the resize
+                # below restores the target grid geometry
+                h8, w8 = hd - hd % 8, wd - wd % 8
+                raw = frames_u8.reshape(nb, hd, wd, 3)[:, :h8, :w8]
+                small = downsample_luma(raw, h8, w8, 8).astype(jnp.float32)
                 th, tw = ids.shape[1], ids.shape[2]
                 if small.shape[1:] != (th // 8, tw // 8):
                     small = jax.image.resize(
