@@ -55,6 +55,24 @@ def downsample_luma(frames_u8: jax.Array, h: int, w: int, factor: int
     return x.sum(axis=2)  # (B, h/f, w/f)
 
 
+def pooled_luma(frames_u8: jax.Array) -> jax.Array:
+    """(B, h, w*3) flat or (B, h, w, 3) u8 -> (B, h8//8, w8//8) f32
+    box-summed luma, cropping the <8-px trailing remainder (real decodes
+    land on arbitrary dims, e.g. 640x1138; motion estimation does not
+    care about an edge sliver).  The serving pipelines pool at DECODE
+    resolution and bilinearly resize these small maps to the target /8
+    grid — both keyframe and current luma go through the same path, so
+    SADs stay consistent and shifts land in target-grid block units."""
+    b = frames_u8.shape[0]
+    if frames_u8.ndim == 3:
+        h, w = frames_u8.shape[1], frames_u8.shape[2] // 3
+    else:
+        h, w = frames_u8.shape[1], frames_u8.shape[2]
+    h8, w8 = h - h % 8, w - w % 8
+    raw = frames_u8.reshape(b, h, w, 3)[:, :h8, :w8]
+    return downsample_luma(raw, h8, w8, 8).astype(jnp.float32)
+
+
 def estimate_block_shifts(
     key_small: jax.Array,
     cur_small: jax.Array,

@@ -380,6 +380,7 @@ class VideoSegmenter:
             return ids, color, color
 
         def program(params, bn_state, frames_u8):
+            raw_frames = frames_u8  # pre-resize (decode-res) pixels
             frames_u8, flat, h, w = resize_frames(frames_u8)
             n_frames = frames_u8.shape[0]
             # temporal reuse: forward only the keyframes (every Nth frame);
@@ -395,21 +396,24 @@ class VideoSegmenter:
                     # keyframe -> frame on pooled luma and shift the ids
                     # along them (tpuseg.video.flow) — recovers agreement
                     # lost where the scene moved, at VPU-trivial cost.
-                    # Keyframe luma is pooled ONCE per keyframe and the
-                    # small (B/N, h/8, w/8) maps repeated, instead of
-                    # repeating full-res keyframe pixels and re-pooling
-                    # them N times
+                    # Luma pools at DECODE resolution (the small maps
+                    # resize to the target /8 grid), so ids-only serving
+                    # never materializes resized non-key frames; keyframe
+                    # maps are pooled once and repeated
                     from tpuseg.video.flow import (
-                        downsample_luma,
                         estimate_block_shifts,
+                        pooled_luma,
                         warp_ids,
                     )
 
+                    cs = pooled_luma(raw_frames)
+                    if cs.shape[1:] != (h // 8, w // 8):
+                        cs = jax.image.resize(
+                            cs, (n_frames, h // 8, w // 8),
+                            method="bilinear")
                     ks = jnp.repeat(
-                        downsample_luma(frames_fwd, h, w, 8),
-                        temporal_interval, axis=0,
+                        cs[::temporal_interval], temporal_interval, axis=0,
                     )[:n_frames]
-                    cs = downsample_luma(frames_u8, h, w, 8)
                     dy, dx = estimate_block_shifts(ks, cs)
                     ids = warp_ids(ids, dy, dx, scale=8, block=16)
             return outputs(ids, frames_u8, flat, h, w)
@@ -535,19 +539,12 @@ class VideoSegmenter:
                 # batch + the SAD/select chain (~4 ms/batch at 1024x2048
                 # batch 32); the forwards are untouched
                 from tpuseg.video.flow import (
-                    downsample_luma,
                     estimate_block_shifts,
+                    pooled_luma,
                     warp_ids as flow_warp_ids,
                 )
 
-                hd, wd = frames_u8.shape[1], frames_u8.shape[2] // 3
-                # decode dims need not divide the pooling factor (e.g.
-                # 640x1138): crop the <8-px remainder — motion estimation
-                # does not care about a trailing sliver, and the resize
-                # below restores the target grid geometry
-                h8, w8 = hd - hd % 8, wd - wd % 8
-                raw = frames_u8.reshape(nb, hd, wd, 3)[:, :h8, :w8]
-                small = downsample_luma(raw, h8, w8, 8).astype(jnp.float32)
+                small = pooled_luma(frames_u8)
                 th, tw = ids.shape[1], ids.shape[2]
                 if small.shape[1:] != (th // 8, tw // 8):
                     small = jax.image.resize(
