@@ -91,7 +91,12 @@ def test_two_process_replicas_lockstep(tmp_path):
         )
         for i in (0, 1)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:  # do not leak deadlocked children past the timeout
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"process failed:\n{out[-3000:]}"
     p0, s0, _, _, _ = load_checkpoint(os.path.join(save, "replica_proc0.npz"))
@@ -163,7 +168,12 @@ def test_two_process_orbax_checkpoint(tmp_path):
         for i in (0, 1)
     ]
     # a deadlocked save would hang here until the timeout
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:  # do not leak deadlocked children past the timeout
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"process failed:\n{out[-3000:]}"
     from tpuseg.train import load_checkpoint

@@ -336,13 +336,13 @@ def test_flow_warp_end_to_end(rng):
     key = rng.integers(0, 256, size=(1, 128, 128, 3), dtype=np.uint8)
     ids = rng.integers(0, 19, size=(1, 128, 128)).astype(np.uint8)
     same = warp_key_ids_to_frames(
-        jnp.asarray(ids), jnp.asarray(key), jnp.asarray(key), 128, 128
+        jnp.asarray(ids), jnp.asarray(key), jnp.asarray(key)
     )
     np.testing.assert_array_equal(np.asarray(same), ids)
 
     cur = np.roll(key, (8, -16), axis=(1, 2))
     warped = np.asarray(warp_key_ids_to_frames(
-        jnp.asarray(ids), jnp.asarray(key), jnp.asarray(cur), 128, 128
+        jnp.asarray(ids), jnp.asarray(key), jnp.asarray(cur)
     ))
     # the recovered shift is exact and the warp wraps like the ground
     # truth, so the match is everywhere
@@ -353,7 +353,7 @@ def test_flow_warp_end_to_end(rng):
     kf = key.reshape(1, 128, 128 * 3)
     cf = cur.reshape(1, 128, 128 * 3)
     warped_flat = np.asarray(warp_key_ids_to_frames(
-        jnp.asarray(ids), jnp.asarray(kf), jnp.asarray(cf), 128, 128
+        jnp.asarray(ids), jnp.asarray(kf), jnp.asarray(cf)
     ))
     np.testing.assert_array_equal(warped_flat, warped)
 

@@ -55,14 +55,16 @@ def downsample_luma(frames_u8: jax.Array, h: int, w: int, factor: int
     return x.sum(axis=2)  # (B, h/f, w/f)
 
 
-def pooled_luma(frames_u8: jax.Array) -> jax.Array:
+def pooled_luma(frames_u8: jax.Array,
+                grid: tuple[int, int] | None = None) -> jax.Array:
     """(B, h, w*3) flat or (B, h, w, 3) u8 -> (B, h8//8, w8//8) f32
     box-summed luma, cropping the <8-px trailing remainder (real decodes
     land on arbitrary dims, e.g. 640x1138; motion estimation does not
-    care about an edge sliver).  The serving pipelines pool at DECODE
-    resolution and bilinearly resize these small maps to the target /8
-    grid — both keyframe and current luma go through the same path, so
-    SADs stay consistent and shifts land in target-grid block units."""
+    care about an edge sliver).  With ``grid=(gh, gw)`` the pooled map is
+    bilinearly resized onto that grid — the serving pipelines pool at
+    DECODE resolution and resize to the target /8 grid; both keyframe
+    and current luma go through the same path, so SADs stay consistent
+    and shifts land in target-grid block units."""
     b = frames_u8.shape[0]
     if frames_u8.ndim == 3:
         h, w = frames_u8.shape[1], frames_u8.shape[2] // 3
@@ -70,7 +72,11 @@ def pooled_luma(frames_u8: jax.Array) -> jax.Array:
         h, w = frames_u8.shape[1], frames_u8.shape[2]
     h8, w8 = h - h % 8, w - w % 8
     raw = frames_u8.reshape(b, h, w, 3)[:, :h8, :w8]
-    return downsample_luma(raw, h8, w8, 8).astype(jnp.float32)
+    small = downsample_luma(raw, h8, w8, 8).astype(jnp.float32)
+    if grid is not None and small.shape[1:] != tuple(grid):
+        small = jax.image.resize(small, (b,) + tuple(grid),
+                                 method="bilinear")
+    return small
 
 
 def estimate_block_shifts(
@@ -195,23 +201,25 @@ def warp_key_ids_to_frames(
     key_ids: jax.Array,
     key_frames_u8: jax.Array,
     cur_frames_u8: jax.Array,
-    h: int,
-    w: int,
     *,
-    factor: int = 8,
     radius: int = 4,
     block: int = 16,
 ) -> jax.Array:
     """End-to-end: for each (keyframe, current) pair, estimate block
-    motion on pooled luma and warp the keyframe's ids along it.
+    motion on pooled luma and warp the keyframe's ids along it — the
+    same pool + grid-resize + estimate + warp chain the serving
+    pipelines run (tpuseg.video.pipeline), packaged for library use.
 
     key_ids: (B, H, W) u8 — each frame's keyframe's ids (already
     gathered/repeated to per-frame order); key/cur_frames_u8: matching
-    (B, h, w*3) flat or (B, h, w, 3) pixel batches.  A keyframe paired
-    with itself estimates shift 0 everywhere and warps to identity, so
-    callers can pass the full batch uniformly."""
-    ks = downsample_luma(key_frames_u8, h, w, factor)
-    cs = downsample_luma(cur_frames_u8, h, w, factor)
+    (B, h, w*3) flat or (B, h, w, 3) pixel batches (any decode dims —
+    the luma pooling crops to the /8 multiple and resizes onto
+    key_ids' /8 grid).  A keyframe paired with itself estimates shift 0
+    everywhere and warps to identity, so callers can pass the full
+    batch uniformly."""
+    H, W = key_ids.shape[1], key_ids.shape[2]
+    grid = (H // 8, W // 8)
+    ks = pooled_luma(key_frames_u8, grid=grid)
+    cs = pooled_luma(cur_frames_u8, grid=grid)
     dy, dx = estimate_block_shifts(ks, cs, radius=radius, block=block)
-    return warp_ids(key_ids, dy, dx, scale=factor, block=block,
-                    radius=radius)
+    return warp_ids(key_ids, dy, dx, scale=8, block=block, radius=radius)

@@ -406,11 +406,7 @@ class VideoSegmenter:
                         warp_ids,
                     )
 
-                    cs = pooled_luma(raw_frames)
-                    if cs.shape[1:] != (h // 8, w // 8):
-                        cs = jax.image.resize(
-                            cs, (n_frames, h // 8, w // 8),
-                            method="bilinear")
+                    cs = pooled_luma(raw_frames, grid=(h // 8, w // 8))
                     ks = jnp.repeat(
                         cs[::temporal_interval], temporal_interval, axis=0,
                     )[:n_frames]
@@ -544,11 +540,8 @@ class VideoSegmenter:
                     warp_ids as flow_warp_ids,
                 )
 
-                small = pooled_luma(frames_u8)
                 th, tw = ids.shape[1], ids.shape[2]
-                if small.shape[1:] != (th // 8, tw // 8):
-                    small = jax.image.resize(
-                        small, (nb, th // 8, tw // 8), method="bilinear")
+                small = pooled_luma(frames_u8, grid=(th // 8, tw // 8))
                 key_small = jnp.where(
                     (keyslot >= 0)[:, None, None],
                     small[fwd_idx][jnp.clip(keyslot, 0, K - 1)],
