@@ -94,5 +94,25 @@ def test_orbax_envelope_roundtrip(tmp_path):
     assert best[4]["epoch"] == 1
     # async save overwrites the existing directory atomically
     save_checkpoint(path, params, bn, meta={"epoch": 2}, async_save=True)
+    # CRASH-SAFETY (round-3 advisor, medium): while the async save is in
+    # flight — the whole background-write window — the previous checkpoint
+    # must remain intact AND loadable at its final path.  The new save
+    # lands in <path>.new and is only swapped over after commit.
+    assert load_checkpoint(path)[4]["epoch"] == 1
     wait_for_saves()
     assert load_checkpoint(path)[4]["epoch"] == 2
+    assert not os.path.exists(path + ".new"), "swap must consume the sibling"
+
+
+def test_orbax_load_falls_back_to_committed_sibling(tmp_path):
+    """A crash between the swap renames can leave the new save committed at
+    <path>.new with <path> absent; load must pick it up."""
+    from tpuseg.train import save_checkpoint
+
+    final = str(tmp_path / "checkpoint.orbax")
+    params = {"w": np.full((4,), 7.0, np.float32)}
+    save_checkpoint(final, params, {}, meta={"epoch": 9})
+    os.rename(final, final + ".new")  # simulate crash mid-swap
+    p, _, _, _, meta = load_checkpoint(final)
+    assert meta["epoch"] == 9
+    np.testing.assert_array_equal(p["w"], params["w"])

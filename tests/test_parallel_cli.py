@@ -140,6 +140,65 @@ def test_rmbsnn_mesh_runs(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_eval_covers_full_val_set(tmp_path):
+    """Multi-process --evaluate must cover the FULL val set: with 13 val
+    samples over 2 processes the shards are unequal (7/6), and the old
+    drop_last sharding silently dropped the tail — reported top-1/5 then
+    differed from the single-process run on the same params (round-3
+    advisor).  Shards now pad + mask around the allgather, so the two
+    runs report identical accuracies."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["TPUSEG_PLATFORM"] = "cpu"
+    env["TPUSEG_NUM_CPU_DEVICES"] = "1"
+    base = [
+        sys.executable, "-m", "tpuseg.cli.rmbsnn",
+        "--dataset", "synthetic", "--synthetic-n", "13",
+        "--batch-size", "4", "--arch", "cifar_resnet20", "--evaluate",
+        "--save-dir", str(tmp_path / "eval"),
+    ]
+
+    def run(extra, environ):
+        proc = subprocess.run(
+            base + extra, env=environ, cwd=REPO, capture_output=True,
+            text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if '"acc1"' in l]
+        assert line, f"no eval line:\n{proc.stdout[-2000:]}"
+        return json.loads(line[-1])
+
+    single = run([], env)
+    mp_env = dict(env)
+    mh = [
+        "--coordinator", f"localhost:{port}", "--num-processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            base + mh + ["--process-id", str(i)], env=mp_env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in (0, 1)
+    ]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out[-3000:]}"
+    line = [l for l in outs[0].splitlines() if '"acc1"' in l]
+    assert line, f"no eval line in rank-0 output:\n{outs[0][-2000:]}"
+    multi = json.loads(line[-1])
+    assert multi["acc1"] == single["acc1"], (multi, single)
+    assert multi["acc5"] == single["acc5"], (multi, single)
+
+
+@pytest.mark.slow
 def test_two_process_orbax_checkpoint(tmp_path):
     """--ckpt-format orbax under two processes: orbax's commit protocol
     runs cross-process barriers, so EVERY process must call save — a

@@ -313,7 +313,10 @@ def test_flow_estimate_recovers_translation(rng):
 
 def test_flow_warp_ids(rng):
     """warp_ids: zero shifts are the identity; a uniform shift is the
-    wrapping inverse gather out[y,x] = ids[y - dy*scale, x - dx*scale]."""
+    inverse gather out[y,x] = ids[y - dy*scale, x - dx*scale] where the
+    source pixel is in-frame, the unwarped copy at the border (no wrap —
+    round-3 advisor: wrapped borders imported ids from the opposite
+    edge)."""
     from tpuseg.video.flow import warp_ids
 
     ids = rng.integers(0, 19, size=(1, 32, 32)).astype(np.uint8)
@@ -323,8 +326,13 @@ def test_flow_warp_ids(rng):
 
     out2 = np.asarray(warp_ids(
         jnp.asarray(ids), zero + 1, zero - 1, scale=2, block=4
-    ))  # up = 8 divides 32; out[y,x] = ids[y-2, x+2] (wrapping)
-    np.testing.assert_array_equal(out2, np.roll(ids, (2, -2), axis=(1, 2)))
+    ))  # up = 8 divides 32; out[y,x] = ids[y-2, x+2] in the interior
+    # exact reference: each axis clamps independently — an off-frame
+    # source on one axis keeps that axis unwarped, never wraps
+    a = ids[0]
+    rowp = np.concatenate([a[:2], a[:-2]], axis=0)     # y<2 keeps the copy
+    want = np.concatenate([rowp[:, 2:], rowp[:, -2:]], axis=1)  # x>=30 ditto
+    np.testing.assert_array_equal(out2[0], want)
 
 
 def test_flow_warp_end_to_end(rng):
@@ -344,9 +352,11 @@ def test_flow_warp_end_to_end(rng):
     warped = np.asarray(warp_key_ids_to_frames(
         jnp.asarray(ids), jnp.asarray(key), jnp.asarray(cur)
     ))
-    # the recovered shift is exact and the warp wraps like the ground
-    # truth, so the match is everywhere
-    want = np.roll(ids, (8, -16), axis=(1, 2))
+    # the recovered shift is exact: the interior matches the translation;
+    # each axis clamps independently at the border (off-frame source on
+    # one axis keeps that axis unwarped — no wrap)
+    rowp = np.concatenate([ids[:, :8], ids[:, :-8]], axis=1)
+    want = np.concatenate([rowp[:, :, 16:], rowp[:, :, -16:]], axis=2)
     np.testing.assert_array_equal(warped, want)
 
     # flat (B, H, W*3) frames are the serving layout; same result
@@ -443,13 +453,20 @@ def test_flow_warp_ids_seam_and_range_semantics(rng):
     out = np.asarray(warp_ids(jnp.asarray(ids), dy, dx,
                               scale=4, block=4, radius=4))[0]
     a = ids[0]
+    # reference: row pass with in-frame clamp (fallback = copy), then col
+    # pass sampling the row-warped map (fallback = row-warped value)
+    rowp = np.empty_like(a)
+    for y in range(32):
+        for x in range(32):
+            dy_here = 0 if x < 16 else 2
+            sy = y - dy_here * 4
+            rowp[y, x] = a[sy, x] if 0 <= sy < 32 else a[y, x]
     for y in range(32):
         for x in range(32):
             dx_here = 0 if x < 16 else -1
-            sx = (x - dx_here * 4) % 32
-            dy_src = 0 if sx < 16 else 2  # dy at the SOURCE column
-            sy = (y - dy_src * 4) % 32
-            assert out[y, x] == a[sy, sx], (y, x)
+            sx = x - dx_here * 4
+            want = rowp[y, sx] if 0 <= sx < 32 else rowp[y, x]
+            assert out[y, x] == want, (y, x)
 
     # a shift outside the warp radius keeps the plain copy
     big = jnp.asarray(np.array([[[0, 7], [0, 7]]]), jnp.int32)

@@ -239,10 +239,8 @@ def main(argv=None):
             eval_params, eval_bn = ts.params, ts.bn_state
         logits_all, labels_all = [], []
         for images, labels in prefetch_to_device(
-            # drop_last under multi-process so every process contributes the
-            # same shard size (process_allgather needs equal shapes)
             batch_iterator(val_ds, local_bs, num_shards=n_proc,
-                           shard_index=pid, drop_last=n_proc > 1)
+                           shard_index=pid)
         ):
             logits_all.append(np.asarray(fwd_jit(eval_params, eval_bn, images)))
             labels_all.append(np.asarray(labels))
@@ -251,8 +249,28 @@ def main(argv=None):
         if n_proc > 1:
             from jax.experimental import multihost_utils
 
+            # process_allgather needs equal shapes, but dropping the tail
+            # (drop_last) silently excluded up to n_proc*local_bs-1 val
+            # samples, so multi-process top-1/5 differed from the
+            # single-process run on the same checkpoint (round-3 advisor;
+            # the reference pads via DistributedSampler).  Instead pad
+            # every shard to the max shard length (ceil(n/n_proc) — shard
+            # i holds ceil((n-i)/n_proc) samples, computable without
+            # communication), gather a valid mask alongside, and drop the
+            # padding after the gather: full-val-set coverage, no dupes.
+            max_n = -(-len(val_ds) // n_proc)
+            valid = np.zeros(max_n, bool)
+            valid[: len(logits)] = True
+            padn = max_n - len(logits)
+            if padn:
+                logits = np.concatenate(
+                    [logits, np.zeros((padn,) + logits.shape[1:], logits.dtype)])
+                labels = np.concatenate(
+                    [labels, np.zeros((padn,) + labels.shape[1:], labels.dtype)])
             logits = np.concatenate(multihost_utils.process_allgather(logits))
             labels = np.concatenate(multihost_utils.process_allgather(labels))
+            mask = np.concatenate(multihost_utils.process_allgather(valid))
+            logits, labels = logits[mask], labels[mask]
         return logits, labels
 
     def validate():

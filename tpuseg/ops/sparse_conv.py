@@ -968,10 +968,15 @@ def phase_sparse_conv_apply(
     )
     nmb = plan.cout // bm
     itemsize = jnp.dtype(plan.vals.dtype).itemsize
+    # the BlockSpec'd output tile is double-buffered by the pipeline —
+    # count it twice (measured on the fused_phase sibling: an 11.6 MB
+    # single-count estimate compiled to 18.6 MB and OOM'd); the weights are
+    # a whole-array VMEM operand (constant index map — one copy) and the
+    # phase slabs are single-buffered scratch
     est = (
         int(plan.vals.size) * itemsize            # all out-blocks' weights
         + k * (R + 2 * pad) * w_ * S * bk * itemsize  # k phase slabs
-        + R * w_ * plan.cout * 4                  # f32 output tile
+        + 2 * R * w_ * plan.cout * 4              # f32 output tile (2x)
     )
     assert est < 13 * 2**20, (
         f"phase sparse conv footprint ~{est/2**20:.1f} MB exceeds VMEM; "

@@ -14,8 +14,14 @@ the npz envelope:
   calls save with its (replicated) arrays and orbax elects the writer and
   barriers — no rank-0 guard needed (the reference guards by hand,
   rmbsnn_main.py:414-415).
-- atomicity via orbax's write-then-commit directory protocol (same
-  guarantee the npz envelope gets from write-tmp-then-rename).
+- atomicity via orbax's write-then-commit directory protocol, PLUS a
+  sibling-path swap at this layer: the save lands in ``<path>.new`` and is
+  only renamed over ``<path>`` after orbax commits (for async saves, after
+  ``wait_until_finished``).  The previous checkpoint is never deleted
+  before its replacement is durable — the same guarantee the npz envelope
+  gets from write-tmp-then-rename, now across the whole async window.
+  ``load_checkpoint_orbax`` accepts the committed ``.new``/`.old`` siblings
+  a crash between the two renames can leave behind.
 
 Format selection is by path: ``save_checkpoint``/``load_checkpoint`` in
 ``tpuseg.train.checkpoint`` delegate here when the path ends in
@@ -36,6 +42,7 @@ import numpy as np
 
 
 _ASYNC_CKPTR = None  # lazily-built singleton; owns the background thread
+_PENDING_SWAP = None  # (tmp, final) of an async save awaiting commit+swap
 
 
 def _checkpointer(async_save: bool):
@@ -47,6 +54,44 @@ def _checkpointer(async_save: bool):
             _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
         return _ASYNC_CKPTR
     return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
+def _barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def _swap_into_place(tmp: str, final: str) -> None:
+    """Rename a COMMITTED save at ``tmp`` over ``final`` (rank-0 only).
+
+    The old checkpoint is moved aside (``<final>.old``) rather than deleted
+    first, so a crash at any point leaves at least one durable checkpoint:
+    either ``final`` (old or new) or a committed ``tmp`` that
+    ``load_checkpoint_orbax`` falls back to.
+    """
+    if jax.process_index() == 0:
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    _barrier("tpuseg_ckpt_swap")
+
+
+def _finalize_pending() -> None:
+    global _PENDING_SWAP
+    if _PENDING_SWAP is None:
+        return
+    tmp, final = _PENDING_SWAP
+    _PENDING_SWAP = None
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    _swap_into_place(tmp, final)
 
 
 def save_checkpoint_orbax(
@@ -74,47 +119,69 @@ def save_checkpoint_orbax(
     arrays["__meta__"] = np.frombuffer(
         json.dumps(dict(meta or {})).encode(), dtype=np.uint8
     ).copy()
+    global _PENDING_SWAP
     path = os.path.abspath(path)
     ckptr = _checkpointer(async_save)
+    # Finish (wait + swap) any outstanding async save before starting the
+    # next one — AsyncCheckpointer requires it, and it keeps at most one
+    # .new sibling alive at a time.
+    _finalize_pending()
     # every process calls save (orbax's commit protocol is collective),
-    # but plain filesystem ops around it — replace-rmtree and the
-    # best-copy — are rank-0-only, with a barrier so no process enters
-    # orbax's save while the old tree is still being deleted
+    # but plain filesystem ops around it — stale-sibling cleanup, the
+    # swap, and the best-copy — are rank-0-only, with barriers so no
+    # process races the filesystem ops
     is_primary = jax.process_index() == 0
-    if os.path.exists(path):  # orbax refuses to overwrite; match npz replace
-        if async_save:
-            ckptr.wait_until_finished()
+    tmp = path + ".new"
+    if os.path.exists(tmp):  # stale sibling from a crashed earlier save
         if is_primary:
-            shutil.rmtree(path)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("tpuseg_ckpt_replace")
-    ckptr.save(path, arrays)
+            shutil.rmtree(tmp)
+        _barrier("tpuseg_ckpt_clean")
+    # The save lands beside the live checkpoint; ``path`` keeps serving the
+    # previous save until the new one has COMMITTED (async: until
+    # wait_until_finished).  A crash anywhere in the async window loses
+    # only the in-flight save, never the previous checkpoint.
+    ckptr.save(tmp, arrays)
+    if async_save:
+        _PENDING_SWAP = (tmp, path)
+    else:
+        _swap_into_place(tmp, path)
     if is_best:
-        if async_save:
-            ckptr.wait_until_finished()
+        _finalize_pending()  # async: commit + swap before copying
         if is_primary:
             best = os.path.join(
                 os.path.dirname(path), "checkpoint_best.orbax")
             if os.path.exists(best):
                 shutil.rmtree(best)
             shutil.copytree(path, best)
+        _barrier("tpuseg_ckpt_best")
 
 
 def wait_for_saves() -> None:
-    """Block until any outstanding async orbax save has committed."""
+    """Block until any outstanding async orbax save has committed AND been
+    swapped into place at its final path."""
+    _finalize_pending()
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint_orbax(path: str):
     """Returns (params, bn_state, masks, opt_arrays, meta) — the same tuple
-    as ``tpuseg.train.checkpoint.load_checkpoint``."""
+    as ``tpuseg.train.checkpoint.load_checkpoint``.
+
+    Falls back to the committed ``<path>.new`` / ``<path>.old`` siblings a
+    crash between the swap renames can leave behind (see
+    ``save_checkpoint_orbax``).
+    """
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        for sibling in (path + ".new", path + ".old"):
+            if os.path.exists(sibling):
+                path = sibling
+                break
     ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
-    blob = ckptr.restore(os.path.abspath(path))
+    blob = ckptr.restore(path)
     params, bn_state, masks, opt_arrays = {}, {}, {}, {}
     meta: dict[str, Any] = {}
     for key, val in blob.items():

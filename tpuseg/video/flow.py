@@ -160,11 +160,14 @@ def warp_ids(
     Separable roll+select: for each candidate shift s in
     [-radius, radius], roll the map by s*scale and select it where the
     block's shift equals s — rows first, then columns.  2*(2r+1) wide
-    VPU ops; shifts wrap at the frame edge (they are <= radius*scale px,
-    and border blocks' SAD already prefers in-frame shifts).  A
-    per-pixel index gather is the obvious formulation but lowers to a
-    scalar path inside serving loops on this toolchain (465 ms/batch
-    measured vs 3 ms for this form).
+    VPU ops.  ``jnp.roll`` wraps at the frame edge, so each select is
+    additionally masked to SOURCE pixels that are in-frame; border
+    pixels whose source would come from the opposite edge fall back to
+    the unwarped copy instead of receiving wrapped-around class ids
+    (nothing guarantees border blocks' SADs prefer in-frame shifts —
+    round-3 advisor).  A per-pixel index gather is the obvious
+    formulation but lowers to a scalar path inside serving loops on
+    this toolchain (465 ms/batch measured vs 3 ms for this form).
 
     The dy' source-column composition is the price of separability:
     shift fields are block-piecewise-constant, so dy' == dy everywhere
@@ -182,17 +185,23 @@ def warp_ids(
     assert h % up == 0 and w % up == 0, (h, w, up)
     dy_full = jnp.repeat(jnp.repeat(dy_blocks, up, axis=1), up, axis=2)
     dx_full = jnp.repeat(jnp.repeat(dx_blocks, up, axis=1), up, axis=2)
+    # in-frame source masks: rolled[y] = src[y - s*scale], valid iff
+    # 0 <= y - s*scale < h (same for columns); out-of-frame keeps the copy
+    rows = jnp.arange(h).reshape(1, h, 1)
+    cols = jnp.arange(w).reshape(1, 1, w)
     out = key_ids  # s == 0 keeps the copy; unmatched shifts ditto
     for s in range(-radius, radius + 1):
         if s == 0:
             continue
-        out = jnp.where(dy_full == s,
+        row_ok = (rows >= s * scale) & (rows < h + s * scale)
+        out = jnp.where((dy_full == s) & row_ok,
                         jnp.roll(key_ids, s * scale, axis=1), out)
     out2 = out
     for s in range(-radius, radius + 1):
         if s == 0:
             continue
-        out2 = jnp.where(dx_full == s,
+        col_ok = (cols >= s * scale) & (cols < w + s * scale)
+        out2 = jnp.where((dx_full == s) & col_ok,
                          jnp.roll(out, s * scale, axis=2), out2)
     return out2
 
