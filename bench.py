@@ -17,10 +17,54 @@ the relay).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Bounded retry on relay/backend outages (round-3 verdict: a single
+# transient "Unable to initialize backend 'axon': UNAVAILABLE" zeroed out
+# the round's official perf record).  jax caches a failed backend init for
+# the process lifetime, so each attempt is a fresh subprocess.  The result
+# is only ever a real measurement — on final failure we exit nonzero.
+RETRY_BACKOFFS_S = (60, 120, 240, 300, 300)
+
+
+def main_with_retries():
+    env = dict(os.environ, TPUSEG_BENCH_INNER="1")
+    for i, backoff in enumerate((0,) + RETRY_BACKOFFS_S):
+        if backoff:
+            print(f"bench: backend unavailable, retry {i}/"
+                  f"{len(RETRY_BACKOFFS_S)} in {backoff}s", file=sys.stderr)
+            time.sleep(backoff)
+        try:
+            # 40 min/attempt: remote compile is 1-3 min and the relay's
+            # first op can take up to ~17 min when it flaps (verify skill)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=2400,
+            )
+        except subprocess.TimeoutExpired:
+            err = "attempt timed out after 2400s (relay hang)"
+            print(f"bench: {err}", file=sys.stderr)
+            continue
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in row:
+                print(line)
+                return 0
+        err = proc.stderr[-4000:]
+        if "UNAVAILABLE" not in err and "DEADLINE_EXCEEDED" not in err:
+            sys.stderr.write(err)
+            return proc.returncode or 1
+    sys.stderr.write(err)
+    print("bench: backend unavailable after all retries", file=sys.stderr)
+    return 1
 
 
 def main():
@@ -41,8 +85,6 @@ def main():
     # is at the plateau (275 ms/batch latency — fine for throughput
     # serving; latency-sensitive callers use batch 8 via
     # TPUSEG_BENCH_BATCH / seg_video --batch).
-    import os
-
     BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", "32"))
     # forwards per dispatched call: the remote-dispatch overhead on the axon
     # relay is ~30 ms/call, so the device-side scan must be long enough to
@@ -132,4 +174,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("TPUSEG_BENCH_INNER"):
+        sys.exit(main())
+    sys.exit(main_with_retries())

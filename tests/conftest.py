@@ -20,6 +20,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# vendored RBGP config set (tpuseg.tools.gen_configs) — self-contained,
+# present whether or not the reference mirror is mounted
+VENDORED_CONFIGS = os.path.join(REPO_ROOT, "optimal_configs")
 
 
 @pytest.fixture(scope="session")

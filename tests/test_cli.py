@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 from PIL import Image
 
+from conftest import VENDORED_CONFIGS
 from tpuseg.cli.semantic_seg import main as seg_main
 from tpuseg.cli.expander_batch import main as sweep_main
 
@@ -112,8 +113,9 @@ def test_seg_video_pruned_serving(capsys):
     main([
         "--video", video, "--size", "64x64", "--frames", "4",
         "--batch", "2", "--pr-config-path",
-        "/root/reference/optimal_configs/drn_d_22/"
-        "drn_d_22_512X512_0.00_50.00.json",
+        os.path.join(
+            VENDORED_CONFIGS, "drn_d_22", "drn_d_22_512X512_0.00_50.00.json"
+        ),
     ])
     out = capsys.readouterr().out.strip().splitlines()
     plans_line = _json.loads(out[-2])

@@ -8,13 +8,14 @@ from tpuseg.sparsity import create_masker
 
 
 def test_masker_deterministic_by_seed():
-    params, _, _ = init_drnseg(0, "drn_d_22", 19)
-    cfg = "/root/reference/optimal_configs/drn_d_22/drn_d_22_512X512_0.00_50.00.json"
     import os
-    import pytest
 
-    if not os.path.exists(cfg):
-        pytest.skip("reference configs absent")
+    from conftest import VENDORED_CONFIGS
+
+    params, _, _ = init_drnseg(0, "drn_d_22", 19)
+    cfg = os.path.join(
+        VENDORED_CONFIGS, "drn_d_22", "drn_d_22_512X512_0.00_50.00.json"
+    )
     m1 = create_masker(cfg, seed=7).generate_masks(params)
     m2 = create_masker(cfg, seed=7).generate_masks(params)
     m3 = create_masker(cfg, seed=8).generate_masks(params)

@@ -2,6 +2,8 @@
 reference PyTorch implementation (loaded from /root/reference at test time —
 never vendored)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -207,6 +209,81 @@ def test_export_state_dict_roundtrip():
         np.asarray(state["layer.1.1.running_var"]),
         rtol=1e-6,
     )
+
+
+def _fake_classifier_pth(tmp_path, seed=5):
+    """A DRN-D-22 ImageNet-classifier checkpoint in torch layout (backbone
+    + fc head + num_batches_tracked), standing in for the published
+    drn_d_22-4bd2f8ea.pth (drn.py:20)."""
+    import torch
+
+    from tpuseg.models.torch_import import export_state_dict
+
+    params, state, _ = init_drnseg(seed, "drn_d_22", 19)
+    bb = {k: v for k, v in params.items()
+          if not k.startswith(("seg.", "up."))}
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_state_dict(bb, state).items()}
+    sd["fc.weight"] = torch.zeros(1000, 512, 1, 1)
+    sd["fc.bias"] = torch.zeros(1000)
+    sd["layer.1.1.num_batches_tracked"] = torch.tensor(7)
+    path = str(tmp_path / "drn_d_22-4bd2f8ea.pth")
+    torch.save(sd, path)
+    return path, params, state
+
+
+def test_pretrained_backbone_transplant(tmp_path):
+    """--pretrained-backbone contract (reference pretrained=True,
+    drn.py:15-24): the classifier checkpoint fills the backbone, the
+    fc head is dropped, and the seg/up head keeps its fresh init."""
+    from tpuseg.models.torch_import import load_pretrained_backbone
+
+    path, src_params, src_state = _fake_classifier_pth(tmp_path)
+    params, state, _ = init_drnseg(0, "drn_d_22", 19)
+    out_p, out_s, n = load_pretrained_backbone(
+        "drn_d_22", path, params, state)
+    assert n > 40
+    np.testing.assert_array_equal(
+        np.asarray(out_p["layer.3.0.conv1.weight"]),
+        np.asarray(src_params["layer.3.0.conv1.weight"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_s["layer.1.1.running_var"]),
+        np.asarray(src_state["layer.1.1.running_var"]))
+    # head untouched; fc not transplanted
+    np.testing.assert_array_equal(
+        np.asarray(out_p["seg.weight"]), np.asarray(params["seg.weight"]))
+    assert "fc.weight" not in out_p
+
+
+def test_pretrained_backbone_url_uses_cache(tmp_path):
+    """A URL source resolves through the cache directory without touching
+    the network when the file is pre-placed (model_zoo-cache contract)."""
+    from tpuseg.models.torch_import import (
+        DRN_MODEL_URLS,
+        load_pretrained_backbone,
+        resolve_backbone_source,
+    )
+
+    path, src_params, _ = _fake_classifier_pth(tmp_path)
+    url = resolve_backbone_source("auto", "drn_d_22")
+    assert url == DRN_MODEL_URLS["drn_d_22"]
+    assert os.path.basename(path) == os.path.basename(url)  # cache key
+    params, state, _ = init_drnseg(0, "drn_d_22", 19)
+    out_p, _, n = load_pretrained_backbone(
+        "drn_d_22", "auto", params, state, cache_dir=str(tmp_path))
+    assert n > 40
+    np.testing.assert_array_equal(
+        np.asarray(out_p["layer.6.0.conv2.weight"]),
+        np.asarray(src_params["layer.6.0.conv2.weight"]))
+
+
+def test_pretrained_backbone_wrong_arch_raises(tmp_path):
+    from tpuseg.models.torch_import import load_pretrained_backbone
+
+    path, _, _ = _fake_classifier_pth(tmp_path)
+    params, state, _ = init_drnseg(0, "drn_d_54", 19)
+    with pytest.raises((KeyError, ValueError)):
+        load_pretrained_backbone("drn_d_54", path, params, state)
 
 
 @requires_reference

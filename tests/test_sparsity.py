@@ -272,12 +272,13 @@ def test_srmbrep_repetitive_tiles_identical():
 
 
 def test_srmbrep_from_shipped_config():
-    """The shipped optimal_configs apply verbatim to our DRN-D-22 params."""
-    cfg_path = (
-        "/root/reference/optimal_configs/drn_d_22/drn_d_22_512X512_0.00_50.00.json"
+    """The vendored optimal_configs apply verbatim to our DRN-D-22 params
+    (self-contained — no reference mirror needed)."""
+    from conftest import VENDORED_CONFIGS
+
+    cfg_path = os.path.join(
+        VENDORED_CONFIGS, "drn_d_22", "drn_d_22_512X512_0.00_50.00.json"
     )
-    if not os.path.exists(cfg_path):
-        pytest.skip("reference configs not mounted")
     from tpuseg.models import init_drnseg
 
     params, _, _ = init_drnseg(0, "drn_d_22", 19)
@@ -349,11 +350,39 @@ def test_grouping_block_diagonal():
 
 
 @pytest.mark.slow
+def test_all_vendored_configs_apply():
+    """Every vendored optimal_configs JSON (the full 12-file matrix
+    tpuseg ships — tpuseg.tools.gen_configs) generates masks at exactly
+    the advertised sparsity, with no reference mirror mounted."""
+    import glob
+
+    from conftest import VENDORED_CONFIGS
+    from tpuseg.models import init_drnseg
+    from tpuseg.sparsity import create_masker
+    from tpuseg.sparsity.base import mask_sparsity_stats
+
+    seen = 0
+    for arch, n_layers in (("drn_d_22", 24), ("drn_d_54", 56)):
+        params, _state, _spec = init_drnseg(0, arch, 19)
+        for f in sorted(glob.glob(
+                os.path.join(VENDORED_CONFIGS, arch, "*.json"))):
+            seen += 1
+            masks = create_masker(f, seed=0).generate_masks(params)
+            assert len(masks) == n_layers, f
+            want = float(f.rsplit("_", 1)[1][:-5])
+            stats = mask_sparsity_stats(masks)
+            for layer, sp in stats.items():
+                assert abs(sp - want) < 1e-6, (f, layer, sp)
+    assert seen == 12
+
+
+@pytest.mark.slow
+@requires_reference
 def test_all_shipped_configs_apply():
-    """Every shipped optimal_configs JSON generates masks at the advertised
-    sparsity — except drn_d_22_1024X768_0.00_87.50.json, whose layer.1
-    inner pattern (4x8 at d=1) violates the reference generator's own
-    lift-count constraint (SRMBRepMasker.py:109)."""
+    """Every REFERENCE optimal_configs JSON generates masks at the
+    advertised sparsity — except drn_d_22_1024X768_0.00_87.50.json, whose
+    layer.1 inner pattern (4x8 at d=1) violates the reference generator's
+    own lift-count constraint (SRMBRepMasker.py:109)."""
     import glob
 
     from tpuseg.models import init_drnseg

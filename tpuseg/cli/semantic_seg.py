@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--random-scale", type=float, default=0)
     p.add_argument("--random-rotate", type=int, default=0)
     p.add_argument("--pretrained", default=None, help=".npz or .pth weights")
+    p.add_argument("--pretrained-backbone", default=None,
+                   help="ImageNet-pretrained DRN classifier to bootstrap "
+                        "the backbone from: local .pth path, http(s) URL "
+                        "(cached under $TPUSEG_CACHE), or 'auto' for the "
+                        "arch's published URL — the reference's "
+                        "pretrained=True contract (drn.py:15-24)")
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
     p.add_argument("--save-dir", default="runs/seg")
     p.add_argument("--ckpt-format", default="npz", choices=["npz", "orbax"],
@@ -141,6 +147,13 @@ def load_weights(args, classes):
     from tpuseg.models.drn import build_drn_spec
 
     params, state, spec = init_drnseg(args.seed, args.arch, classes)
+    if getattr(args, "pretrained_backbone", None):
+        from tpuseg.models.torch_import import load_pretrained_backbone
+
+        params, state, n = load_pretrained_backbone(
+            args.arch, args.pretrained_backbone, params, state)
+        print(json.dumps({"pretrained_backbone": args.pretrained_backbone,
+                          "tensors": n}))
     if args.pretrained:
         if args.pretrained.endswith(".pth"):
             from tpuseg.models.torch_import import load_pth

@@ -79,6 +79,115 @@ def load_pth(path: str, dtype=jnp.float32):
     return params, state, meta
 
 
+# Published ImageNet-pretrained DRN backbone checkpoints
+# (/root/reference/drn.py:13-24: every reference seg trainer builds its
+# backbone with pretrained=True, which model_zoo-downloads one of these).
+DRN_WEBROOT = "http://dl.yf.io/drn/"
+DRN_MODEL_URLS = {
+    "drn_c_26": DRN_WEBROOT + "drn_c_26-ddedf421.pth",
+    "drn_c_42": DRN_WEBROOT + "drn_c_42-9d336e8c.pth",
+    "drn_c_58": DRN_WEBROOT + "drn_c_58-0a53a92c.pth",
+    "drn_d_22": DRN_WEBROOT + "drn_d_22-4bd2f8ea.pth",
+    "drn_d_38": DRN_WEBROOT + "drn_d_38-eebb45f0.pth",
+    "drn_d_54": DRN_WEBROOT + "drn_d_54-0e0534ff.pth",
+    "drn_d_105": DRN_WEBROOT + "drn_d_105-12b40979.pth",
+}
+
+# head tensors never transplanted from a classifier checkpoint: the fc
+# head is ImageNet-specific and DRNSeg replaces it with seg/up
+_BACKBONE_EXCLUDE = ("fc.", "seg.", "up.")
+
+
+def _cache_dir() -> str:
+    import os
+
+    return os.environ.get(
+        "TPUSEG_CACHE", os.path.expanduser("~/.cache/tpuseg"))
+
+
+def resolve_backbone_source(src: str, arch: str) -> str:
+    """``auto`` -> the arch's published URL; anything else passes through."""
+    if src != "auto":
+        return src
+    if arch not in DRN_MODEL_URLS:
+        raise ValueError(
+            f"no published pretrained backbone for {arch!r}; "
+            f"have {sorted(DRN_MODEL_URLS)}")
+    return DRN_MODEL_URLS[arch]
+
+
+def fetch_backbone(src: str, cache_dir: str | None = None) -> str:
+    """Return a local path for ``src`` (path or URL).
+
+    URLs resolve through the cache directory (``$TPUSEG_CACHE`` or
+    ``~/.cache/tpuseg``) keyed by basename — the moral equivalent of
+    torch model_zoo's cache (drn.py:15).  A download is attempted only on
+    cache miss; on a network-blocked machine, pre-place the file in the
+    cache (or pass a local path) and no network is touched.
+    """
+    import os
+
+    if not src.startswith(("http://", "https://")):
+        return src
+    cache = cache_dir or _cache_dir()
+    local = os.path.join(cache, os.path.basename(src))
+    if os.path.exists(local):
+        return local
+    os.makedirs(cache, exist_ok=True)
+    import urllib.request
+
+    try:
+        tmp = local + ".part"
+        urllib.request.urlretrieve(src, tmp)
+        os.replace(tmp, local)
+    except Exception as exc:
+        raise RuntimeError(
+            f"could not download pretrained backbone {src!r} ({exc}); "
+            f"place the file at {local!r} or pass a local .pth path"
+        ) from exc
+    return local
+
+
+def load_pretrained_backbone(
+    arch: str,
+    src: str,
+    params: dict,
+    state: dict,
+    dtype=jnp.float32,
+    cache_dir: str | None = None,
+) -> tuple[dict, dict, int]:
+    """Fill a freshly-initialized DRNSeg param/state dict's BACKBONE from an
+    ImageNet-pretrained DRN classifier checkpoint, keeping the seg/up head
+    at its init — the reference's ``pretrained=True`` bootstrap contract
+    (drn.py:15-24 via semantic_seg.py:127-134; every reference seg trainer
+    runs it at :568/:801).
+
+    ``src``: local ``.pth`` path, ``http(s)`` URL (cache-resolved), or
+    ``"auto"`` (the arch's published URL).  Returns
+    ``(params, state, n_transplanted)``; shapes are checked per tensor and
+    a mismatch raises (wrong-arch checkpoint).
+    """
+    path = fetch_backbone(resolve_backbone_source(src, arch), cache_dir)
+    bb_params, bb_state, _ = load_pth(path, dtype)
+    out_p, out_s = dict(params), dict(state)
+    n = 0
+    for source, dest in ((bb_params, out_p), (bb_state, out_s)):
+        for key, val in source.items():
+            if key.startswith(_BACKBONE_EXCLUDE):
+                continue
+            if key not in dest:
+                raise KeyError(
+                    f"pretrained backbone tensor {key!r} has no slot in "
+                    f"{arch}; wrong checkpoint for this arch?")
+            if tuple(np.shape(dest[key])) != tuple(np.shape(val)):
+                raise ValueError(
+                    f"pretrained backbone {key!r} shape "
+                    f"{np.shape(val)} != model's {np.shape(dest[key])}")
+            dest[key] = val
+            n += 1
+    return out_p, out_s, n
+
+
 def export_state_dict(params: Mapping[str, Any], state: Mapping[str, Any]) -> dict:
     """Inverse mapping: produce a torch-layout state_dict (numpy values) for
     interop/tooling.  Conv weights go back to OIHW."""
