@@ -19,7 +19,9 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REFERENCE_DIR = "/root/reference"
+# Override with TPUSEG_REFERENCE_DIR=/nonexistent to prove the suite is
+# self-contained without the mirror (parity tests skip, all else passes).
+REFERENCE_DIR = os.environ.get("TPUSEG_REFERENCE_DIR", "/root/reference")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # vendored RBGP config set (tpuseg.tools.gen_configs) — self-contained,
 # present whether or not the reference mirror is mounted

@@ -94,6 +94,20 @@ def test_sweeper_dry_run(tmp_path, capsys):
     assert all(not l.startswith(("seg", "up", "fc")) for l in layers)
 
 
+def test_seg_video_shapes_source(capsys):
+    """--video shapes[:seed]: the built-in zero-asset synthetic video —
+    the demo runs with no video file, codec, or reference mirror."""
+    import json as _json
+
+    from tpuseg.cli.seg_video import main
+
+    main(["--video", "shapes:7", "--size", "64x64", "--frames", "4",
+          "--batch", "2"])
+    result = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["frames"] == 4
+    assert result["fps"] > 0
+
+
 @pytest.mark.slow
 def test_seg_video_pruned_serving(capsys):
     """seg_video --pr-config-path: reference-schema config -> masks ->

@@ -22,7 +22,11 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="tpuseg video segmentation demo")
-    p.add_argument("--video", required=True)
+    p.add_argument("--video", required=True,
+                   help="video file path, or the built-in synthetic source "
+                        "'shapes[:seed]' (tpuseg.data.shapes moving-shapes "
+                        "world, generated at --size) — a zero-asset demo "
+                        "that needs no video file or codec")
     p.add_argument("--arch", default="drn_d_22")
     p.add_argument("--classes", type=int, default=19)
     p.add_argument("--pretrained", default=None, help=".npz or .pth checkpoint")
@@ -62,6 +66,13 @@ def parse_args(argv=None):
                         "smaller than --size; predictions may differ "
                         "slightly from the host-resize path.  Pass this "
                         "flag for bit-parity with the reference demos")
+    p.add_argument("--transport", default="rgb", choices=["rgb", "yuv420"],
+                   help="frame bytes over the host->device link: rgb "
+                        "(3 B/px) or planar yuv420 (1.5 B/px, reconstructed "
+                        "to RGB on device — tpuseg.video.yuv).  yuv420 is "
+                        "the right call on slow links (tunneled/remote "
+                        "chips); chroma is 2x2-subsampled so ids can "
+                        "differ slightly at color edges")
     p.add_argument("--device-outputs", action="store_true",
                    help="colorize/overlay on device and fetch RGB frames "
                         "(best on PCIe-attached chips; default fetches "
@@ -157,11 +168,39 @@ def load_model(args):
     return params, state, spec
 
 
+_SHAPES_CACHE: dict = {}
+
+
+def _is_shapes(video: str) -> bool:
+    return video == "shapes" or video.startswith("shapes:")
+
+
+def open_frames(args, h: int, w: int, *, resized: bool):
+    """Frame source for ``args.video``: a decoded file (FrameSource) or the
+    built-in ``shapes[:seed]`` synthetic video (generated at h x w, so
+    ``resized`` is moot for it).  Returns an iterable of HxWx3 uint8."""
+    from tpuseg.video import FrameSource
+
+    if not _is_shapes(args.video):
+        if not os.path.exists(args.video):
+            raise SystemExit(f"error: video file not found: {args.video}")
+        return FrameSource(args.video, size=(h, w) if resized else None)
+    seed = int(args.video.split(":", 1)[1]) if ":" in args.video else 0
+    n = max(args.frames or 0, getattr(args, "calibrate", 0) or 0, 1)
+    key = (seed, n, h, w)
+    if key not in _SHAPES_CACHE:
+        from tpuseg.data.shapes import shapes_video
+
+        _SHAPES_CACHE.clear()  # hold at most one generated video
+        _SHAPES_CACHE[key] = shapes_video(n, (h, w), seed=seed)[0]
+    return list(_SHAPES_CACHE[key])
+
+
 def main(argv=None):
     args = parse_args(argv)
     import jax.numpy as jnp
 
-    from tpuseg.video import FrameSource, VideoSegmenter
+    from tpuseg.video import VideoSegmenter
 
     h, w = (int(v) for v in args.size.lower().split("x"))
     mean = [float(v) for v in args.mean.split(",")]
@@ -188,10 +227,8 @@ def main(argv=None):
                           "total_masked": len(report)}))
     calib = None
     if args.quantize and args.calibrate > 0:
-        if not os.path.exists(args.video):
-            raise SystemExit(f"error: video file not found: {args.video}")
         calib = [f for _, f in zip(range(args.calibrate),
-                                   FrameSource(args.video, size=(h, w)))]
+                                   open_frames(args, h, w, resized=True))]
     seg = VideoSegmenter(
         params,
         state,
@@ -211,10 +248,9 @@ def main(argv=None):
         temporal_budget=args.temporal_budget,
         temporal_warp=args.temporal_warp,
         mesh=_build_mesh(args.mesh_devices),
+        transport=args.transport,
     )
-    if not os.path.exists(args.video):
-        raise SystemExit(f"error: video file not found: {args.video}")
-    frames = FrameSource(args.video, size=(h, w) if args.host_resize else None)
+    frames = open_frames(args, h, w, resized=args.host_resize)
     from tpuseg.metrics.profiling import trace
 
     with trace(args.profile_dir):
@@ -258,10 +294,7 @@ def main(argv=None):
             frames3 = [
                 f for _, f in zip(
                     range(args.frames),
-                    FrameSource(
-                        args.video,
-                        size=(h, w) if args.host_resize else None,
-                    ),
+                    open_frames(args, h, w, resized=args.host_resize),
                 )
             ]
             dev = seg.benchmark_adaptive_device_fps(frames3)
@@ -284,9 +317,7 @@ def main(argv=None):
             quantize=args.quantize, calib_frames=calib,
             exec_plans=exec_plans,
         )
-        frames2 = FrameSource(
-            args.video, size=(h, w) if args.host_resize else None
-        )
+        frames2 = open_frames(args, h, w, resized=args.host_resize)
         full = seg_full.run(frames2, max_frames=args.frames, need_color=False)
         n = min(len(result["ids"]), len(full["ids"]))
         line["temporal_ids_agreement"] = round(

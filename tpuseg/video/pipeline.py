@@ -133,6 +133,7 @@ class VideoSegmenter:
         temporal_budget: int | None = None,
         temporal_warp: bool = False,
         mesh=None,
+        transport: str = "rgb",
     ):
         # ``temporal_interval=N`` exploits temporal redundancy (the
         # DeltaCNN observation: consecutive video frames change sparsely):
@@ -282,6 +283,26 @@ class VideoSegmenter:
         std = jnp.asarray(std, jnp.float32)
         palette_dev = jnp.asarray(palette)
 
+        # ``transport="yuv420"`` ships frames as planar I420 (1.5 bytes/px
+        # instead of 3 — tpuseg.video.yuv): the right call when the chip is
+        # behind a slow host link (the tunneled dev chip moves ~45-65 MB/s,
+        # so H2D is the real-video bottleneck; PERF_NOTES).  The device
+        # program reconstructs RGB before the stem at decode resolution;
+        # chroma is 2x2-subsampled, so ids can differ slightly at color
+        # edges vs rgb transport (measure per video: ids agreement >99% on
+        # the shapes world).  Composes with every serving mode.
+        assert transport in ("rgb", "yuv420"), transport
+        self.transport = transport
+        if transport == "yuv420":
+            from tpuseg.video.yuv import i420_to_rgb_flat
+
+            def ingest(frames_u8):
+                return i420_to_rgb_flat(frames_u8)
+        else:
+
+            def ingest(frames_u8):
+                return frames_u8
+
         assert not (temporal_interval > 1 and temporal_thresh is not None), (
             "temporal_interval and temporal_thresh are mutually exclusive"
         )
@@ -380,6 +401,7 @@ class VideoSegmenter:
             return ids, color, color
 
         def program(params, bn_state, frames_u8):
+            frames_u8 = ingest(frames_u8)
             raw_frames = frames_u8  # pre-resize (decode-res) pixels
             frames_u8, flat, h, w = resize_frames(frames_u8)
             n_frames = frames_u8.shape[0]
@@ -420,7 +442,7 @@ class VideoSegmenter:
             (post-resize) pixels + its ids + a promoted-count that doubles
             as the is-initialized flag (0 forces promotion of the first
             frame ever, whatever its content)."""
-            frames_u8, flat, h, w = resize_frames(frames_u8)
+            frames_u8, flat, h, w = resize_frames(ingest(frames_u8))
 
             def step(carry, frame):
                 kf, kids, n = carry
@@ -474,6 +496,7 @@ class VideoSegmenter:
             (measured on v5e at 1024x2048 batch 32 K=8: 310 -> 387 fps
             device rate).  device_outputs mode still resizes every frame
             (the overlay consumes them)."""
+            frames_u8 = ingest(frames_u8)
             nb = frames_u8.shape[0]
             K = temporal_budget
             prevs = jnp.concatenate(
@@ -664,6 +687,13 @@ class VideoSegmenter:
         promoted_flags = []  # per-frame, truncated with ids below
 
         def init_carry(arr):
+            # arr is the SHIPPED array: RGB (B,H,W,3), flat (B,H,W*3), or
+            # planar I420 (B,H*3/2,W); the carry lives in decode-res RGB
+            if self.transport == "yuv420":
+                from tpuseg.video.yuv import i420_geometry
+
+                return self._make_carry(i420_geometry(arr.shape[1]),
+                                        arr.shape[2])
             h = arr.shape[1]
             w = arr.shape[2] // 3 if arr.ndim == 3 else arr.shape[2]
             return self._make_carry(h, w)
@@ -693,7 +723,13 @@ class VideoSegmenter:
                 pad = self.batch - arr.shape[0]
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
             frames_host = arr
-            if adaptive or not (self.want_overlay and self.device_outputs):
+            if self.transport == "yuv420":
+                # ship planar I420: 1.5 bytes/px over the link; the device
+                # program reconstructs RGB (tpuseg.video.yuv)
+                from tpuseg.video.yuv import rgb_to_i420
+
+                arr = rgb_to_i420(arr)
+            elif adaptive or not (self.want_overlay and self.device_outputs):
                 # upload flat (B, H, W*3): same bytes (numpy view), full
                 # lane occupancy on device.  Device-side overlay blending
                 # keeps 4-D frames (the blend consumes them in image shape);
@@ -844,7 +880,10 @@ class VideoSegmenter:
             _, probes = jax.lax.scan(body, frames, None, length=inner)
             return probes.astype(jnp.int32).sum()
 
-        frames = jnp.zeros((self.batch, h, w * 3), jnp.uint8)
+        if self.transport == "yuv420":
+            frames = jnp.zeros((self.batch, h * 3 // 2, w), jnp.uint8)
+        else:
+            frames = jnp.zeros((self.batch, h, w * 3), jnp.uint8)
         if self._frames_sharding is not None:
             frames = jax.device_put(frames, self._frames_sharding)
         float(np.asarray(loop(frames)))  # compile
@@ -875,8 +914,12 @@ class VideoSegmenter:
         pad = (-len(arr)) % b
         if pad:
             arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-        xs = arr.reshape(len(arr) // b, b, arr.shape[1], -1)  # flat frames
         carry0 = self._make_carry(arr.shape[1], arr.shape[2])
+        if self.transport == "yuv420":
+            from tpuseg.video.yuv import rgb_to_i420
+
+            arr = rgb_to_i420(arr)
+        xs = arr.reshape(len(arr) // b, b, arr.shape[1], -1)  # flat frames
 
         @jax.jit
         def loop(xs):
