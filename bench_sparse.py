@@ -280,6 +280,73 @@ def bench_fused():
     }))
 
 
+def bench_gathered():
+    """The gather+dense-XLA-conv lowering (tpuseg.ops.gathered_conv) vs
+    dense and vs the fused Pallas kernel at the layer-6 shape — the
+    formulation that sidesteps the Pallas xmat copy floor entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models.drn import conv2d
+    from tpuseg.ops.gathered_conv import plan_gathered_conv
+    from tpuseg.ops.sparse_conv import (
+        fused_sparse_conv_apply,
+        plan_fused_sparse_conv,
+    )
+    from tpuseg.sparsity.block import BlockConfig, prune_as_block
+
+    N, H, W, C = 1, 128, 256, 512
+    K, DIL = 3, 2
+    INNER = 50
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(K, K, C, C)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def timeit(one_fn, reps=3):
+        # full-output chaining (see bench_fused.timeit)
+        @jax.jit
+        def loop(x):
+            def body(xc, _):
+                return one_fn(xc).astype(xc.dtype), ()
+            y, _ = jax.lax.scan(body, x, None, length=INNER)
+            return y[0, 0, 0, 0].astype(jnp.float32)
+        float(np.asarray(loop(x)))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(x)))
+            best = min(best, (time.perf_counter() - t0) / INNER)
+        return best
+
+    wd = jnp.asarray(w).astype(jnp.bfloat16)
+    t_dense = timeit(lambda xx: conv2d(xx, wd, 1, DIL, DIL))
+    print(json.dumps({
+        "metric": "gathered/dense_conv3x3_ms", "value": round(t_dense * 1e3, 3)
+    }))
+    for sparsity in [0.5, 0.75, 0.875]:
+        w_oihw = np.transpose(w, (3, 2, 0, 1))
+        mask_oihw = prune_as_block(
+            w_oihw, BlockConfig(sparsity, 128, 128, -1, -1,
+                                collapse_tensor=False)
+        )
+        mask = np.transpose(mask_oihw, (2, 3, 1, 0))
+        row = {"metric": f"gathered_{int(sparsity*1000)/10}pct"}
+        for mode in ("split", "grouped"):
+            plan = plan_gathered_conv(w, mask, dilation=DIL, mode=mode)
+            t = timeit(lambda xx, p=plan: p.apply(xx))
+            row[f"{mode}_ms"] = round(t * 1e3, 3)
+            row[f"{mode}_speedup"] = round(t_dense / t, 3)
+            row["block_density"] = round(plan.block_density, 4)
+        fplan = plan_fused_sparse_conv(w, mask, dilation=DIL)
+        tf = timeit(lambda xx, p=fplan: fused_sparse_conv_apply(
+            xx, p, rows_per_tile=4))
+        row["fused_pallas_ms"] = round(tf * 1e3, 3)
+        row["fused_pallas_speedup"] = round(t_dense / tf, 3)
+        print(json.dumps(row))
+
+
 def bench_model():
     """End-to-end: dense vs block-sparse DRN-D-22 at 1024x2048."""
     import jax
@@ -365,6 +432,17 @@ def bench_model():
             "value": round(1 / t_sparse, 2),
             "sparse_layers": n_sparse,
             "speedup_vs_dense": round(t_dense / t_sparse, 3),
+        }))
+
+        # same masks through the gather+dense-XLA lowering
+        gplans, _ = build_sparse_plans(masked, masks, spec,
+                                       lowering="gathered")
+        t_gath = run_model(jax.device_put(dict(masked)), gplans)
+        print(json.dumps({
+            "metric": f"model_gathered_{int(sparsity*1000)/10}pct_fps",
+            "value": round(1 / t_gath, 2),
+            "sparse_layers": len(gplans),
+            "speedup_vs_dense": round(t_dense / t_gath, 3),
         }))
 
         # the full compression stack: prune (sparse kernels) + int8 PTQ on
@@ -458,11 +536,13 @@ if __name__ == "__main__":
     import sys
 
     if ("--fused-only" not in sys.argv and "--model" not in sys.argv
-            and "--train" not in sys.argv):
+            and "--train" not in sys.argv and "--gathered" not in sys.argv):
         main()
     if ("--fused" in sys.argv or "--fused-only" in sys.argv
             or "--fused-appendix" in sys.argv):
         bench_fused()
+    if "--gathered" in sys.argv:
+        bench_gathered()
     if "--model" in sys.argv:
         bench_model()
     if "--train" in sys.argv:

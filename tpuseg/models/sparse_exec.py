@@ -92,12 +92,21 @@ def build_sparse_plans(
     dense_threshold: float = 0.75,
     dtype=jnp.bfloat16,
     rows_per_tile: int = 8,
+    lowering: str = "pallas",
 ) -> tuple[dict, dict]:
     """Build ``{conv_name: FusedSparseConv}`` for every eligible masked conv.
 
     Returns (plans, report) where report maps every masked conv to the
     decision taken ('sparse d=..' / 'dense: <reason>').
+
+    ``lowering`` picks the sparse execution family for eligible convs:
+    ``"pallas"`` (fused block-sparse kernel, with channel compaction when
+    the mask admits it) or ``"gathered"`` (channel-gather + small dense XLA
+    convs, tpuseg.ops.gathered_conv — sidesteps the Pallas xmat copy
+    floor; bench_sparse --gathered compares them on hardware).  Structured
+    RBGP lowerings apply first in either case.
     """
+    assert lowering in ("pallas", "gathered"), lowering
     convs = {}
     for _, stage in spec.stages:
         if stage.kind == "convs":
@@ -127,7 +136,11 @@ def build_sparse_plans(
         # RBGP structured lowerings first: COLUMN/GROUP-style patterns admit
         # dense-compacted execution at any stride (tpuseg.ops.rbgp_matmul)
         rplan = plan_rbgp(w, mk, dtype=dtype)
-        if rplan.kind == "column_compact" and cdef.stride == 1:
+        if (
+            rplan.kind == "column_compact"
+            and cdef.stride == 1
+            and lowering == "pallas"
+        ):
             # compose: compact the dead channels away AND run the survivor
             # through the fused block-sparse kernel when it is still sparse
             live = np.asarray(rplan.live_in)
@@ -150,8 +163,19 @@ def build_sparse_plans(
                         f"{fplan.block_density:.2f}"
                     )
                     continue
-        if rplan.kind != "dense" and not (
-            rplan.kind == "tap_compact" and cdef.stride != 1
+        if (
+            rplan.kind != "dense"
+            and not (rplan.kind == "tap_compact" and cdef.stride != 1)
+            and not (
+                # the gathered lowering subsumes channel compaction (its
+                # gather indices already skip dead K-blocks); let it take
+                # stride-1 column_compact layers instead
+                lowering == "gathered"
+                and rplan.kind == "column_compact"
+                and cdef.stride == 1
+                and cdef.cin % 128 == 0
+                and cdef.cout % 128 == 0
+            )
         ):
             plans[cname] = rplan
             report[cname] = f"rbgp {rplan.kind}: {rplan.note}"
@@ -162,6 +186,23 @@ def build_sparse_plans(
             continue
         if cdef.cin % 128 or cdef.cout % 128:
             report[cname] = f"dense: channels {cdef.cin}x{cdef.cout} not /128"
+            continue
+        if lowering == "gathered":
+            from tpuseg.ops.gathered_conv import plan_gathered_conv
+
+            gplan = plan_gathered_conv(
+                w, mk, dilation=cdef.dilation, dtype=dtype
+            )
+            if gplan.block_density >= dense_threshold:
+                report[cname] = (
+                    f"dense: block density {gplan.block_density:.2f}"
+                )
+                continue
+            plans[cname] = gplan
+            report[cname] = (
+                f"gathered: block density {gplan.block_density:.2f}, "
+                f"S={gplan.s}"
+            )
             continue
         plan = plan_fused_sparse_conv(
             w, mk, dilation=cdef.dilation, dtype=dtype,
