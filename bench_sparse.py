@@ -347,6 +347,60 @@ def bench_gathered():
         print(json.dumps(row))
 
 
+def bench_rmcdb():
+    """RMCDB roll+compact lowering vs dense matmul (tpuseg.ops.
+    rmcdb_lowering) at realistic cyclic-diagonal geometries — the VERDICT
+    round-3 item-5 experiment.  P = the stride-8 pixel count of a
+    1024x2048 frame, (512, 512) layer shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.ops.rmcdb_lowering import detect_rmcdb_rolls, rmcdb_roll_matmul
+    from tpuseg.sparsity.rmcdb import BlockletType, RmcdbConfig, prune_as_rmcdb
+
+    P, ROWS, COLS = 128 * 256, 512, 512
+    INNER = 30
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(ROWS, COLS)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(P, COLS)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def timeit(one_fn, reps=3):
+        @jax.jit
+        def loop(x):
+            def body(xc, _):
+                return one_fn(xc).astype(xc.dtype), ()
+            y, _ = jax.lax.scan(body, x, None, length=INNER)
+            return y[0, 0].astype(jnp.float32)
+        float(np.asarray(loop(x)))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(x)))
+            best = min(best, (time.perf_counter() - t0) / INNER)
+        return best
+
+    wd = jnp.asarray(w).astype(jnp.bfloat16)
+    t_dense = timeit(lambda xx: xx @ wd.T)
+    print(json.dumps({
+        "metric": "rmcdb/dense_matmul_ms", "value": round(t_dense * 1e3, 3)
+    }))
+    for bh, b, count in ((64, 8, 2), (64, 16, 1), (64, 4, 2), (128, 16, 2)):
+        cfg = RmcdbConfig(bh=bh, bw=bh, spo=0.0,
+                          bl_types=[BlockletType(b, b)], bl_counts=[count])
+        mask, _ = prune_as_rmcdb(w, cfg)
+        plan = detect_rmcdb_rolls(w, mask.astype(np.float32), bh, bh, b)
+        assert plan is not None
+        t = timeit(lambda xx, p=plan: rmcdb_roll_matmul(xx, p))
+        print(json.dumps({
+            "metric": f"rmcdb_roll_bh{bh}_b{b}_c{count}",
+            "density": round(plan.density, 4),
+            "ms": round(t * 1e3, 3),
+            "speedup_vs_dense": round(t_dense / t, 3),
+        }))
+
+
 def bench_model():
     """End-to-end: dense vs block-sparse DRN-D-22 at 1024x2048."""
     import jax
@@ -536,13 +590,16 @@ if __name__ == "__main__":
     import sys
 
     if ("--fused-only" not in sys.argv and "--model" not in sys.argv
-            and "--train" not in sys.argv and "--gathered" not in sys.argv):
+            and "--train" not in sys.argv and "--gathered" not in sys.argv
+            and "--rmcdb" not in sys.argv):
         main()
     if ("--fused" in sys.argv or "--fused-only" in sys.argv
             or "--fused-appendix" in sys.argv):
         bench_fused()
     if "--gathered" in sys.argv:
         bench_gathered()
+    if "--rmcdb" in sys.argv:
+        bench_rmcdb()
     if "--model" in sys.argv:
         bench_model()
     if "--train" in sys.argv:
