@@ -401,6 +401,62 @@ def bench_rmcdb():
         }))
 
 
+def bench_layout():
+    """W-major resident-activation experiment (VERDICT round-3 item 4),
+    part 1: the layout-conversion cost.  A cross-layer W-major residency
+    scheme pays one NHWC->alternate-layout transpose per sparse layer
+    boundary (or keeps the whole chain resident and converts at the chain's
+    ends); this measures those conversions at the layer-6 activation shape.
+    Part 2 is already answered by the round-3 cphase control: assembling
+    the xmat from perfectly aligned, shuffle-free slabs still costs MORE
+    than the sliced concat (PERF_NOTES round 3) — i.e. even a FREE
+    residency cannot beat the xmat copy floor.  This bench pins down how
+    far from free the residency itself is."""
+    import jax
+    import jax.numpy as jnp
+
+    N, H, W, C = 1, 128, 256, 512
+    INNER = 50
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def timeit(one_fn, reps=3):
+        @jax.jit
+        def loop(x):
+            def body(xc, _):
+                return one_fn(xc), ()
+            y, _ = jax.lax.scan(body, x, None, length=INNER)
+            return y.reshape(-1)[0].astype(jnp.float32)
+        float(np.asarray(loop(x)))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(x)))
+            best = min(best, (time.perf_counter() - t0) / INNER)
+        return best
+
+    cases = {
+        # NHWC -> NCHW (channel-major resident: channel gathers hit the
+        # untiled dim; taps stay on the tiled pair)
+        "nhwc_to_nchw_ms": lambda xx: jnp.transpose(xx, (0, 3, 1, 2)),
+        # NHWC -> NWHC (W-major: dx shifts hit the untiled dim; dy stays
+        # sublane — the BACKLOG item's literal layout)
+        "nhwc_to_nwhc_ms": lambda xx: jnp.transpose(xx, (0, 2, 1, 3)),
+        # round trip (what a single non-resident layer would pay)
+        "nhwc_nwhc_roundtrip_ms": lambda xx: jnp.transpose(
+            jnp.transpose(xx, (0, 2, 1, 3)), (0, 2, 1, 3)
+        ),
+        # control: one full-tensor copy at the same size
+        "copy_ms": lambda xx: xx + jnp.uint8(0).astype(xx.dtype),
+    }
+    for name, fn in cases.items():
+        t = timeit(fn)
+        print(json.dumps({"metric": f"layout/{name}",
+                          "value": round(t * 1e3, 3)}))
+
+
 def bench_model():
     """End-to-end: dense vs block-sparse DRN-D-22 at 1024x2048."""
     import jax
@@ -591,7 +647,7 @@ if __name__ == "__main__":
 
     if ("--fused-only" not in sys.argv and "--model" not in sys.argv
             and "--train" not in sys.argv and "--gathered" not in sys.argv
-            and "--rmcdb" not in sys.argv):
+            and "--rmcdb" not in sys.argv and "--layout" not in sys.argv):
         main()
     if ("--fused" in sys.argv or "--fused-only" in sys.argv
             or "--fused-appendix" in sys.argv):
@@ -600,6 +656,8 @@ if __name__ == "__main__":
         bench_gathered()
     if "--rmcdb" in sys.argv:
         bench_rmcdb()
+    if "--layout" in sys.argv:
+        bench_layout()
     if "--model" in sys.argv:
         bench_model()
     if "--train" in sys.argv:

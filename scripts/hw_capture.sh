@@ -1,0 +1,61 @@
+#!/bin/bash
+# Hardware measurement queue (round 4).  Run when the axon relay is up:
+#
+#   bash scripts/hw_capture.sh [outdir]
+#
+# Captures, sequentially with per-job timeouts (the relay flaps — verify
+# skill), every number the round needs:
+#   1. bench.py headline (official record; built-in retry/backoff)
+#   2. the open README mode-table cells: budget x warp and
+#      budget x warp x int8 (device fps + agreement, Road_1101)
+#   3. real-video e2e: rgb vs yuv420 transport (the link-bound number)
+#   4. sparse experiments: gathered lowering, rmcdb roll, layout
+#      conversion cost, model-level gathered-vs-pallas
+# Every job writes its own log under $OUT; a summary of the JSON lines
+# lands in $OUT/summary.jsonl.  Jobs that fail leave their log for
+# diagnosis and the queue continues.
+set -u
+OUT=${1:-runs/hw_r04}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+VID=/root/reference/Road_1101.mp4
+[ -f "$VID" ] || VID=shapes   # zero-asset fallback
+
+run() {
+  local name=$1; shift
+  echo "=== $name: $* (started $(date +%H:%M:%S))"
+  timeout 2400 "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  grep -h '^{' "$OUT/$name.log" | sed "s/^/{\"job\": \"$name\"} /" \
+    >> "$OUT/summary.jsonl" || true
+  echo "=== $name: rc=$rc"
+}
+
+# 1. official headline (has its own retry; give it the full window)
+run bench          python -u bench.py
+
+# 2. open mode-table cells (48 frames @1024x2048 batch 32, like the
+#    round-3 captures; agreement via --temporal-report)
+run budget_warp    python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 48 --batch 32 \
+  --temporal-thresh 8 --temporal-budget 8 --temporal-warp \
+  --device-fps --temporal-report
+run budget_warp_i8 python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 48 --batch 32 \
+  --temporal-thresh 8 --temporal-budget 8 --temporal-warp \
+  --quantize --calibrate 8 --device-fps --temporal-report
+
+# 3. real-video e2e: transport comparison (batch 8 serving config)
+run e2e_rgb        python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 48 --batch 8
+run e2e_yuv420     python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 48 --batch 8 --transport yuv420
+
+# 4. sparse experiments
+run sp_gathered    python -u bench_sparse.py --gathered
+run sp_rmcdb       python -u bench_sparse.py --rmcdb
+run sp_layout      python -u bench_sparse.py --layout
+run sp_model       python -u bench_sparse.py --model
+
+echo "=== queue done; summary:"
+cat "$OUT/summary.jsonl"
