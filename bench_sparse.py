@@ -571,6 +571,15 @@ def bench_model():
             "speedup_vs_dense": round(t_dense / t_comp, 3),
         }))
 
+        # gathered lowering x int8 composition
+        composed_g = {**qdense, **quantize_sparse_plans(gplans)}
+        t_gq = run_model(jax.device_put(dict(masked)), composed_g)
+        print(json.dumps({
+            "metric": f"model_gathered_int8_{int(sparsity*1000)/10}pct_fps",
+            "value": round(1 / t_gq, 2),
+            "speedup_vs_dense": round(t_dense / t_gq, 3),
+        }))
+
 
 def bench_train():
     """Masked TRAIN step: dense-masked (reference semantics) vs sparse

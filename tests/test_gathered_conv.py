@@ -115,3 +115,25 @@ def test_gathered_model_forward_matches_masked_dense():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
     )
+
+
+def test_gathered_int8_close_to_float():
+    """quantize_sparse_plans routes GatheredGroupConv to the int8 variant;
+    outputs stay within PTQ noise of the float gathered conv."""
+    from tpuseg.models.sparse_exec import quantize_sparse_plans
+    from tpuseg.ops.gathered_conv import GatheredGroupConvQ
+
+    rng = np.random.default_rng(3)
+    w, mask, x, y_ref = _masked_case(rng, 3, 256, 256, 0.75, 2)
+    plan = plan_gathered_conv(w, mask, dilation=2, dtype=jnp.float32)
+    qplans = quantize_sparse_plans({"c": plan})
+    assert isinstance(qplans["c"], GatheredGroupConvQ)
+    yq = np.asarray(qplans["c"].apply(jnp.asarray(x)))
+    assert yq.shape == y_ref.shape
+    denom = np.abs(y_ref).max()
+    assert np.abs(yq - y_ref).max() / denom < 0.05
+    # static activation scale path
+    qs = quantize_sparse_plans({"c": plan}, x_scales={"c": float(
+        np.abs(x).max() / 127.0)})
+    ys = np.asarray(qs["c"].apply(jnp.asarray(x)))
+    assert np.abs(ys - y_ref).max() / denom < 0.05

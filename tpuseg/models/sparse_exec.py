@@ -70,6 +70,7 @@ def quantize_sparse_plans(plans: dict, x_scales: dict | None = None) -> dict:
     kernel; other plan kinds pass through unchanged).  ``x_scales`` maps
     conv name -> static activation scale (tpuseg.ops.quant.calibrate
     semantics); absent entries use dynamic in-graph absmax."""
+    from tpuseg.ops.gathered_conv import GatheredGroupConv, quantize_gathered_plan
     from tpuseg.ops.sparse_conv import quantize_fused_plan
 
     out: dict = {}
@@ -80,6 +81,8 @@ def quantize_sparse_plans(plans: dict, x_scales: dict | None = None) -> dict:
         elif isinstance(p, CompactSparse):
             out[name] = CompactSparseQ(
                 p.live_in, quantize_fused_plan(p.inner, x_scale=xs))
+        elif isinstance(p, GatheredGroupConv):
+            out[name] = quantize_gathered_plan(p, x_scale=xs)
         else:
             out[name] = p
     return out
