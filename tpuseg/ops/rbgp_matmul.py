@@ -321,11 +321,12 @@ def plan_grouped_einsum(
 def grouped_einsum_apply(x: jax.Array, plan: GroupedEinsumPlan) -> jax.Array:
     """y = x @ (w * mask) via residue-grouped contraction.
 
-    Correct everywhere; on a v5e this measured ~8x SLOWER than the dense
-    masked matmul at 50% sparsity (2.0 vs 30.5 TFLOP/s — group width
-    cout/pr=16 wastes 112 of 128 MXU lanes), so ``plan_rbgp`` never picks
-    it.  It exists as the documented reference lowering (and for targets
-    with finer matrix tiles).
+    STATUS — correct but NOT routed into production (measured on v5e):
+    ~8x SLOWER than the dense masked matmul at 50% sparsity (2.0 vs 30.5
+    TFLOP/s — group width cout/pr=16 wastes 112 of 128 MXU lanes), so
+    ``plan_rbgp`` never picks it and it appears in no coverage or perf
+    claim.  Kept as the documented reference lowering (and for targets
+    with finer matrix tiles) — same in-tree policy as ops/winograd.py.
     """
     xg = x[:, plan.gather]                      # (P, pr, d*mi) gather
     yg = jnp.einsum("pgk,gkm->pgm", xg, plan.weights,
