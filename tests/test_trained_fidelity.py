@@ -1,0 +1,43 @@
+"""trained_fidelity tool mechanics (tiny settings — the real run is
+`python -m tpuseg.tools.trained_fidelity`, see runs/fidelity)."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.mark.slow
+def test_all_stages_smoke(tmp_path):
+    """Every stage runs end-to-end at smoke scale and appends its report
+    entry; re-running a stage REPLACES its entry (idempotent reports)."""
+    from tpuseg.tools.trained_fidelity import main
+
+    out = str(tmp_path / "fid")
+    args = ["--out", out, "--train-size", "32", "--batch", "2",
+            "--steps", "2", "--recover-steps", "2", "--cls-steps", "2",
+            "--eval-every", "2", "--target-miou", "200",
+            "--video-frames", "4", "--serve-batch", "2"]
+    main(["--stage", "train"] + args)
+    main(["--stage", "fidelity"] + args)
+    main(["--stage", "compress"] + args)
+    with open(os.path.join(out, "report.json")) as fh:
+        rows = json.load(fh)
+    stages = [r["stage"] for r in rows]
+    assert stages == ["train", "fidelity", "compress"]
+    fid = rows[1]
+    assert fid["modes"]["exact"]["ids_agreement_vs_exact"] == 1.0
+    assert "yuv420" in fid["modes"] and "budget_int8" in fid["modes"]
+    assert 0 <= rows[2]["rbgp_50"]["miou_at_mask"] <= 100
+    # idempotent replace
+    main(["--stage", "train"] + args)
+    with open(os.path.join(out, "report.json")) as fh:
+        rows2 = json.load(fh)
+    assert [r["stage"] for r in rows2].count("train") == 1
+
+
+def test_fidelity_requires_checkpoint(tmp_path):
+    from tpuseg.tools.trained_fidelity import main
+
+    with pytest.raises(SystemExit):
+        main(["--stage", "fidelity", "--out", str(tmp_path / "empty")])

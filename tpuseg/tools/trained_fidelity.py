@@ -251,7 +251,8 @@ def stage_fidelity(args) -> None:
         res = seg.run(frame_list, need_color=False)
         return res["ids"]
 
-    budget = dict(temporal_thresh=thresh, temporal_budget=args.serve_batch // 4)
+    budget = dict(temporal_thresh=thresh,
+                  temporal_budget=max(1, args.serve_batch // 4))
     # the flow warp pools luma /8 then block-matches on a 16px grid:
     # frames must be multiples of 128 per axis (tpuseg.video.flow)
     warp_ok = h % 128 == 0 and w % 128 == 0
