@@ -51,6 +51,15 @@ run e2e_rgb        python -u -m tpuseg.cli.seg_video --video "$VID" \
 run e2e_yuv420     python -u -m tpuseg.cli.seg_video --video "$VID" \
   --size 1024x2048 --frames 48 --batch 8 --transport yuv420
 
+# 3b. trained-weights fidelity: the int8 half of the mode matrix is
+#     TPU-only (XLA-CPU's naive int8 conv); needs the checkpoint from the
+#     CPU-side `trained_fidelity --stage train` run (runs/fidelity)
+if [ -f runs/fidelity/drn_d_22_shapes.npz ]; then
+  run fidelity_int8 python -u -m tpuseg.tools.trained_fidelity \
+    --stage fidelity --out runs/fidelity \
+    --modes int8_dynamic,int8_calib,budget_int8,budget_warp_int8
+fi
+
 # 4. sparse experiments
 run sp_gathered    python -u bench_sparse.py --gathered
 run sp_rmcdb       python -u bench_sparse.py --rmcdb

@@ -19,7 +19,11 @@ def test_all_stages_smoke(tmp_path):
             "--eval-every", "2", "--target-miou", "200",
             "--video-frames", "4", "--serve-batch", "2"]
     main(["--stage", "train"] + args)
-    main(["--stage", "fidelity"] + args)
+    # int8 modes are backend-gated off on CPU (naive int8 conv lowering);
+    # force one through --modes to cover the filter AND the int8 path at
+    # this tiny size, then a second partial run must MERGE into the matrix
+    main(["--stage", "fidelity", "--modes", "yuv420,temporal2"] + args)
+    main(["--stage", "fidelity", "--modes", "budget,int8_dynamic"] + args)
     main(["--stage", "compress"] + args)
     with open(os.path.join(out, "report.json")) as fh:
         rows = json.load(fh)
@@ -27,7 +31,8 @@ def test_all_stages_smoke(tmp_path):
     assert stages == ["train", "fidelity", "compress"]
     fid = rows[1]
     assert fid["modes"]["exact"]["ids_agreement_vs_exact"] == 1.0
-    assert "yuv420" in fid["modes"] and "budget_int8" in fid["modes"]
+    assert {"yuv420", "temporal2", "budget", "int8_dynamic"} <= set(
+        fid["modes"])  # partial runs merged
     assert 0 <= rows[2]["rbgp_50"]["miou_at_mask"] <= 100
     # idempotent replace
     main(["--stage", "train"] + args)

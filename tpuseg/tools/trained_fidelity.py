@@ -51,6 +51,13 @@ def _append_report(out: str, entry: dict) -> None:
     if os.path.exists(path):
         with open(path) as fh:
             rows = json.load(fh)
+    prev = next(
+        (r for r in rows if r.get("stage") == entry.get("stage")), None
+    )
+    if prev and isinstance(prev.get("modes"), dict) and "modes" in entry:
+        # partial fidelity runs (--modes / backend-gated int8) merge into
+        # the existing mode matrix instead of clobbering it
+        entry = {**prev, **entry, "modes": {**prev["modes"], **entry["modes"]}}
     rows = [r for r in rows if r.get("stage") != entry.get("stage")]
     rows.append(entry)
     os.makedirs(out, exist_ok=True)
@@ -218,6 +225,8 @@ def _gt_miou_from_ids(ids: list[np.ndarray], labels: np.ndarray) -> float:
 
 
 def stage_fidelity(args) -> None:
+    import jax
+
     from tpuseg.ops.quant import ids_agreement
     from tpuseg.video.pipeline import VideoSegmenter
 
@@ -275,6 +284,20 @@ def stage_fidelity(args) -> None:
     else:
         print(f"fidelity: skipping warp modes (frame {h}x{w} not a "
               "multiple of 128 per axis)")
+    if args.modes:
+        keep = {m.strip() for m in args.modes.split(",")}
+        keep.add("exact")  # the agreement baseline is always needed
+        modes = {k: v for k, v in modes.items() if k in keep}
+    elif jax.default_backend() == "cpu":
+        # XLA-CPU lowers int8 convs to a naive loop (measured ~100x slower
+        # than f32 at this shape — effectively hours per mode); int8 modes
+        # are TPU-only unless forced via --modes
+        dropped = [k for k in modes if "int8" in k]
+        modes = {k: v for k, v in modes.items() if "int8" not in k}
+        if dropped:
+            print(f"fidelity: skipping {dropped} on the CPU backend "
+                  "(naive int8 conv lowering; run on TPU or force with "
+                  "--modes)")
     exact_ids = None
     rows = {}
     for name, kw in modes.items():
@@ -460,6 +483,15 @@ def stage_cls(args) -> None:
 
 
 def main(argv=None):
+    # SIGUSR2 dumps all thread stacks without killing the run (long CPU
+    # stages are opaque otherwise)
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR2, chain=True)
+    except (AttributeError, ValueError):
+        pass
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--stage", default="all",
                    choices=["train", "fidelity", "compress", "cls", "all"])
@@ -477,6 +509,9 @@ def main(argv=None):
     p.add_argument("--video-frames", type=int, default=96)
     p.add_argument("--speed", type=float, default=4.0)
     p.add_argument("--serve-batch", type=int, default=8)
+    p.add_argument("--modes", default=None,
+                   help="comma list restricting the fidelity mode matrix "
+                        "(exact always runs as the baseline)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
