@@ -46,7 +46,7 @@ extern "C" {
 namespace {
 
 struct Slot {
-  std::vector<uint8_t> rgb;      // out_w * out_h * 3
+  std::vector<uint8_t> rgb;      // out_w*out_h*3 (RGB24) or *3/2 (I420)
   int64_t seq = -1;              // which frame occupies the slot
   bool ready = false;            // converted, waiting for consumer
   bool in_use = false;           // handed to consumer, not yet released
@@ -62,6 +62,11 @@ struct VDec {
   AVCodecContext* codec = nullptr;
   int stream_index = -1;
   int out_w = 0, out_h = 0;
+  // 0 = RGB24 interleaved; 1 = I420 packed as (out_h*3/2) rows of out_w
+  // bytes (Y plane, then U as out_h/4 rows, then V) — the decoder's own
+  // chroma-subsampled format, 1.5 B/px: pairs with the serving pipeline's
+  // yuv420 transport so frames never take the RGB detour on the host
+  int out_fmt = 0;
   double fps = 0.0;
   int64_t nframes = 0;
 
@@ -187,12 +192,71 @@ void sws_loop(VDec* v) {
       src_w = pf.frame->width;
       src_h = pf.frame->height;
       src_fmt = (AVPixelFormat)pf.frame->format;
-      // convert at SOURCE resolution (cheap); cv::resize does the scaling
-      sws = sws_getContext(src_w, src_h, src_fmt, src_w, src_h,
-                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
-                           nullptr);
+      // convert at SOURCE resolution (cheap); cv::resize does the scaling.
+      // For I420 output the source is usually already YUV420P, so this
+      // sws pass degenerates to a plane copy.
+      sws = sws_getContext(
+          src_w, src_h, src_fmt, src_w, src_h,
+          v->out_fmt == 1 ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_RGB24,
+          SWS_BILINEAR, nullptr, nullptr, nullptr);
     }
-    if (src_w == v->out_w && src_h == v->out_h) {
+    if (v->out_fmt == 1) {
+      // the packed-I420 contract is FULL-range BT.601 (the exact inverse
+      // of tpuseg.video.yuv's device-side reconstruction); most sources
+      // are studio-range, and sws's unscaled YUV->YUV path does NOT
+      // range-convert, so expand explicitly with LUTs after conversion
+      const bool expand = pf.frame->color_range != AVCOL_RANGE_JPEG;
+      static const auto luts = [] {
+        struct L { uint8_t y[256], c[256]; } t;
+        for (int i = 0; i < 256; ++i) {
+          int y = ((i - 16) * 255 + 109) / 219;
+          int c = ((i - 128) * 255 + (i >= 128 ? 112 : -112)) / 224 + 128;
+          t.y[i] = (uint8_t)(y < 0 ? 0 : y > 255 ? 255 : y);
+          t.c[i] = (uint8_t)(c < 0 ? 0 : c > 255 ? 255 : c);
+        }
+        return t;
+      }();
+      const int ow = v->out_w, oh = v->out_h;
+      auto planes = [](uint8_t* base, int w, int h, uint8_t* dst[4],
+                       int stride[4]) {
+        dst[0] = base;
+        dst[1] = base + (size_t)w * h;
+        dst[2] = base + (size_t)w * h + (size_t)w * h / 4;
+        dst[3] = nullptr;
+        stride[0] = w; stride[1] = w / 2; stride[2] = w / 2; stride[3] = 0;
+      };
+      if (src_w == ow && src_h == oh) {
+        uint8_t* dst[4]; int stride[4];
+        planes(slot->rgb.data(), ow, oh, dst, stride);
+        sws_scale(sws, pf.frame->data, pf.frame->linesize, 0, src_h, dst,
+                  stride);
+      } else {
+        thread_local std::vector<uint8_t> tmp;
+        tmp.resize((size_t)src_w * src_h * 3 / 2);
+        uint8_t* dst[4]; int stride[4];
+        planes(tmp.data(), src_w, src_h, dst, stride);
+        sws_scale(sws, pf.frame->data, pf.frame->linesize, 0, src_h, dst,
+                  stride);
+        uint8_t* out[4]; int ostride[4];
+        planes(slot->rgb.data(), ow, oh, out, ostride);
+        // per-plane SIMD resize (luma full-res, chroma half-res)
+        cv::resize(cv::Mat(src_h, src_w, CV_8UC1, dst[0]),
+                   cv::Mat(oh, ow, CV_8UC1, out[0]),
+                   cv::Size(ow, oh), 0, 0, cv::INTER_LINEAR);
+        cv::resize(cv::Mat(src_h / 2, src_w / 2, CV_8UC1, dst[1]),
+                   cv::Mat(oh / 2, ow / 2, CV_8UC1, out[1]),
+                   cv::Size(ow / 2, oh / 2), 0, 0, cv::INTER_LINEAR);
+        cv::resize(cv::Mat(src_h / 2, src_w / 2, CV_8UC1, dst[2]),
+                   cv::Mat(oh / 2, ow / 2, CV_8UC1, out[2]),
+                   cv::Size(ow / 2, oh / 2), 0, 0, cv::INTER_LINEAR);
+      }
+      if (expand) {
+        uint8_t* buf = slot->rgb.data();
+        const size_t ny = (size_t)ow * oh;
+        for (size_t i = 0; i < ny; ++i) buf[i] = luts.y[buf[i]];
+        for (size_t i = ny; i < ny + ny / 2; ++i) buf[i] = luts.c[buf[i]];
+      }
+    } else if (src_w == v->out_w && src_h == v->out_h) {
       uint8_t* dst[4] = {slot->rgb.data(), nullptr, nullptr, nullptr};
       int dst_stride[4] = {v->out_w * 3, 0, 0, 0};
       sws_scale(sws, pf.frame->data, pf.frame->linesize, 0, src_h, dst,
@@ -224,9 +288,12 @@ void sws_loop(VDec* v) {
 
 extern "C" {
 
-void* vdec_open(const char* path, int out_w, int out_h, int decode_threads,
-                int sws_threads, int ring_capacity) {
+// out_fmt: 0 = RGB24 (out_h, out_w, 3); 1 = packed I420 (out_h*3/2, out_w)
+// — requires out dims with h % 4 == 0 and w % 2 == 0.
+void* vdec_open2(const char* path, int out_w, int out_h, int decode_threads,
+                 int sws_threads, int ring_capacity, int out_fmt) {
   auto v = std::make_unique<VDec>();
+  v->out_fmt = out_fmt;
   if (avformat_open_input(&v->fmt, path, nullptr, nullptr) < 0) return nullptr;
   if (avformat_find_stream_info(v->fmt, nullptr) < 0) return nullptr;
   const AVCodec* dec = nullptr;
@@ -248,15 +315,26 @@ void* vdec_open(const char* path, int out_w, int out_h, int decode_threads,
   v->fps = fr.den ? (double)fr.num / fr.den : 0.0;
   v->nframes = st->nb_frames;
 
+  if (v->out_fmt == 1 && (v->out_h % 4 || v->out_w % 2))
+    return nullptr;  // I420 packing needs h % 4 == 0 and w % 2 == 0
   int cap = ring_capacity > 1 ? ring_capacity : 8;
   v->ring.resize(cap);
-  for (auto& s : v->ring) s.rgb.resize((size_t)v->out_w * v->out_h * 3);
+  size_t frame_bytes = v->out_fmt == 1
+                           ? (size_t)v->out_w * v->out_h * 3 / 2
+                           : (size_t)v->out_w * v->out_h * 3;
+  for (auto& s : v->ring) s.rgb.resize(frame_bytes);
 
   VDec* raw = v.release();
   raw->decoder = std::thread(decode_loop, raw);
   int nw = sws_threads > 0 ? sws_threads : 2;
   for (int i = 0; i < nw; ++i) raw->workers.emplace_back(sws_loop, raw);
   return raw;
+}
+
+void* vdec_open(const char* path, int out_w, int out_h, int decode_threads,
+                int sws_threads, int ring_capacity) {
+  return vdec_open2(path, out_w, out_h, decode_threads, sws_threads,
+                    ring_capacity, 0);
 }
 
 int vdec_info(void* h, int* w, int* ht, double* fps, int64_t* nframes) {

@@ -84,3 +84,61 @@ def test_yuv420_budget_mode_runs():
     out = seg.run(list(frames), need_color=False)
     assert out["frames"] == 6
     assert 0 < out["promotion_rate"] <= 1.0
+
+
+def test_native_decoder_i420_output():
+    """NativeFrameSource(fmt='i420') emits packed planes consistent with
+    the host rgb_to_i420 of the RGB decode of the same video (both derive
+    from the same source YUV; rounding paths differ slightly)."""
+    import os
+
+    pytest.importorskip("cv2")
+    from tpuseg.video.native_source import NativeFrameSource, available
+
+    if not available():
+        pytest.skip("libtpuseg_videodec.so not built")
+    path = "/root/reference/sample.mp4"
+    if not os.path.exists(path):
+        pytest.skip("reference sample video absent")
+    size = (128, 128)
+    it_p = iter(NativeFrameSource(path, size, fmt="i420"))
+    it_rgb = iter(NativeFrameSource(path, size, fmt="rgb"))
+    for _ in range(3):
+        planar = next(it_p)
+        rgb = next(it_rgb)
+        assert planar.shape == (192, 128) and planar.dtype == np.uint8
+        ref = rgb_to_i420(rgb)[0]
+        # luma must agree tightly; chroma within subsampling/rounding slack
+        h = 128
+        assert np.abs(planar[:h].astype(int) - ref[:h].astype(int)).mean() < 3.0
+        assert np.abs(planar[h:].astype(int) - ref[h:].astype(int)).mean() < 4.0
+
+
+def test_frame_source_i420_fallback_matches_native_shape():
+    """FrameSource(fmt='i420') yields packed planes through whichever
+    decode path is available (native or cv2+host-convert)."""
+    import os
+
+    from tpuseg.video.pipeline import FrameSource
+
+    path = "/root/reference/sample.mp4"
+    if not os.path.exists(path):
+        pytest.skip("reference sample video absent")
+    frames = [f for _, f in zip(range(2), FrameSource(path, (64, 64),
+                                                      fmt="i420"))]
+    assert all(f.shape == (96, 64) and f.dtype == np.uint8 for f in frames)
+
+
+def test_yuv420_run_accepts_planar_frames():
+    """VideoSegmenter(transport='yuv420') consumes pre-packed I420 frames
+    (the native-decoder path) and produces the same ids as RGB frames of
+    the same content put through the transport's own conversion."""
+    from tpuseg.data.shapes import shapes_video
+    from tpuseg.ops.quant import ids_agreement
+
+    frames, _ = shapes_video(4, (64, 64), seed=9, speed=3.0)
+    planar = list(rgb_to_i420(frames))
+    seg = _segmenter("yuv420")
+    ids_a = seg.run(list(frames), need_color=False)["ids"]
+    ids_b = _segmenter("yuv420").run(planar, need_color=False)["ids"]
+    np.testing.assert_array_equal(ids_a, ids_b)

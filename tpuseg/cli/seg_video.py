@@ -175,16 +175,18 @@ def _is_shapes(video: str) -> bool:
     return video == "shapes" or video.startswith("shapes:")
 
 
-def open_frames(args, h: int, w: int, *, resized: bool):
+def open_frames(args, h: int, w: int, *, resized: bool, fmt: str = "rgb"):
     """Frame source for ``args.video``: a decoded file (FrameSource) or the
     built-in ``shapes[:seed]`` synthetic video (generated at h x w, so
-    ``resized`` is moot for it).  Returns an iterable of HxWx3 uint8."""
+    ``resized`` is moot for it).  Returns an iterable of HxWx3 uint8 (or
+    packed I420 planes with ``fmt="i420"``)."""
     from tpuseg.video import FrameSource
 
     if not _is_shapes(args.video):
         if not os.path.exists(args.video):
             raise SystemExit(f"error: video file not found: {args.video}")
-        return FrameSource(args.video, size=(h, w) if resized else None)
+        return FrameSource(args.video, size=(h, w) if resized else None,
+                           fmt=fmt)
     seed = int(args.video.split(":", 1)[1]) if ":" in args.video else 0
     n = max(args.frames or 0, getattr(args, "calibrate", 0) or 0, 1)
     key = (seed, n, h, w)
@@ -250,7 +252,13 @@ def main(argv=None):
         mesh=_build_mesh(args.mesh_devices),
         transport=args.transport,
     )
-    frames = open_frames(args, h, w, resized=args.host_resize)
+    # with the yuv420 transport, real videos decode straight to packed
+    # I420 planes (the native decoder emits them with no RGB detour) —
+    # the shapes source and overlay-saving runs keep RGB on the host
+    main_fmt = ("i420" if args.transport == "yuv420"
+                and not _is_shapes(args.video) and not args.save_dir
+                else "rgb")
+    frames = open_frames(args, h, w, resized=args.host_resize, fmt=main_fmt)
     from tpuseg.metrics.profiling import trace
 
     with trace(args.profile_dir):

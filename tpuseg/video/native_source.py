@@ -37,6 +37,9 @@ def lib():
     L.vdec_open.restype = ctypes.c_void_p
     L.vdec_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    if hasattr(L, "vdec_open2"):
+        L.vdec_open2.restype = ctypes.c_void_p
+        L.vdec_open2.argtypes = L.vdec_open.argtypes + [ctypes.c_int]
     L.vdec_info.restype = ctypes.c_int
     L.vdec_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
                             ctypes.POINTER(ctypes.c_int),
@@ -58,26 +61,43 @@ def available() -> bool:
 
 
 class NativeFrameSource:
-    """Iterate RGB uint8 frames (out_h, out_w, 3) from a video file using the
-    native threaded decoder.  Frames are copied out of the ring slot (the
-    device upload would otherwise have to finish before release)."""
+    """Iterate uint8 frames from a video file using the native threaded
+    decoder — RGB ``(out_h, out_w, 3)`` by default, or with ``fmt="i420"``
+    the decoder's OWN chroma-subsampled planes packed ``(out_h*3/2,
+    out_w)`` (pairs with VideoSegmenter's yuv420 transport: 1.5 B/px over
+    the link with NO host-side RGB detour at all).  Frames are copied out
+    of the ring slot (the device upload would otherwise have to finish
+    before release)."""
 
     def __init__(self, path: str, size: tuple[int, int] | None = None,
                  decode_threads: int = 0, sws_threads: int = 4,
-                 ring_capacity: int = 8):
+                 ring_capacity: int = 8, fmt: str = "rgb"):
         L = lib()
         if L is None:
             raise RuntimeError("libtpuseg_videodec.so not built "
                                "(python -m tpuseg.native_build)")
         if not os.path.exists(path):
             raise FileNotFoundError(path)
+        assert fmt in ("rgb", "i420"), fmt
+        if fmt == "i420" and not hasattr(L, "vdec_open2"):
+            raise RuntimeError("libtpuseg_videodec.so predates i420 output; "
+                               "rebuild with python -m tpuseg.native_build")
         h, w = size if size is not None else (0, 0)
         self._L = L
-        self._h = L.vdec_open(path.encode(), int(w), int(h),
-                              int(decode_threads), int(sws_threads),
-                              int(ring_capacity))
+        self.fmt = fmt
+        if fmt == "i420":
+            self._h = L.vdec_open2(path.encode(), int(w), int(h),
+                                   int(decode_threads), int(sws_threads),
+                                   int(ring_capacity), 1)
+        else:
+            self._h = L.vdec_open(path.encode(), int(w), int(h),
+                                  int(decode_threads), int(sws_threads),
+                                  int(ring_capacity))
         if not self._h:
-            raise RuntimeError(f"vdec_open failed for {path!r}")
+            raise RuntimeError(
+                f"vdec_open failed for {path!r}"
+                + (" (i420 needs h%4==0 and w%2==0)" if fmt == "i420" else "")
+            )
         cw, ch = ctypes.c_int(), ctypes.c_int()
         fps, nf = ctypes.c_double(), ctypes.c_int64()
         L.vdec_info(self._h, ctypes.byref(cw), ctypes.byref(ch),
@@ -86,7 +106,12 @@ class NativeFrameSource:
         self.fps, self.nframes = fps.value, nf.value
 
     def __iter__(self):
-        nbytes = self.height * self.width * 3
+        if self.fmt == "i420":
+            nbytes = self.height * self.width * 3 // 2
+            shape = (self.height * 3 // 2, self.width)
+        else:
+            nbytes = self.height * self.width * 3
+            shape = (self.height, self.width, 3)
         while True:
             ptr = ctypes.POINTER(ctypes.c_uint8)()
             seq = self._L.vdec_acquire(self._h, ctypes.byref(ptr))
@@ -94,7 +119,7 @@ class NativeFrameSource:
                 break
             try:
                 buf = np.ctypeslib.as_array(ptr, shape=(nbytes,))
-                yield buf.reshape(self.height, self.width, 3).copy()
+                yield buf.reshape(shape).copy()
             finally:
                 self._L.vdec_release(self._h, seq)
 

@@ -42,10 +42,16 @@ class FrameSource:
     falls back to cv2, then imageio."""
 
     def __init__(self, path: str, size: tuple[int, int] | None = None,
-                 native: bool = True):
+                 native: bool = True, fmt: str = "rgb"):
         self.path = path
         self.size = size  # (height, width)
         self.native = native
+        # fmt="i420": yield packed (H*3/2, W) chroma-subsampled planes —
+        # the decoder's native format, for VideoSegmenter's yuv420
+        # transport.  The native decoder emits them directly (no RGB
+        # detour); the cv2/imageio fallbacks convert per frame on the host.
+        assert fmt in ("rgb", "i420"), fmt
+        self.fmt = fmt
 
     def __iter__(self) -> Iterator[np.ndarray]:
         if self.native:
@@ -56,10 +62,19 @@ class FrameSource:
                 )
 
                 if available():
-                    yield from NativeFrameSource(self.path, self.size)
+                    yield from NativeFrameSource(self.path, self.size,
+                                                 fmt=self.fmt)
                     return
             except (RuntimeError, FileNotFoundError):
                 pass  # fall back to cv2 below
+        if self.fmt == "i420":
+            from tpuseg.video.yuv import rgb_to_i420
+
+            for frame in FrameSource(self.path, self.size, native=False):
+                h, w = frame.shape[:2]
+                frame = frame[: h // 4 * 4, : w // 2 * 2]  # packing grid
+                yield rgb_to_i420(frame)[0]
+            return
         try:
             import cv2
 
@@ -725,10 +740,13 @@ class VideoSegmenter:
             frames_host = arr
             if self.transport == "yuv420":
                 # ship planar I420: 1.5 bytes/px over the link; the device
-                # program reconstructs RGB (tpuseg.video.yuv)
-                from tpuseg.video.yuv import rgb_to_i420
+                # program reconstructs RGB (tpuseg.video.yuv).  A 3-D stack
+                # means the SOURCE already delivered packed planes
+                # (NativeFrameSource fmt="i420") — nothing to convert
+                if arr.ndim == 4:
+                    from tpuseg.video.yuv import rgb_to_i420
 
-                arr = rgb_to_i420(arr)
+                    arr = rgb_to_i420(arr)
             elif adaptive or not (self.want_overlay and self.device_outputs):
                 # upload flat (B, H, W*3): same bytes (numpy view), full
                 # lane occupancy on device.  Device-side overlay blending
@@ -773,6 +791,14 @@ class VideoSegmenter:
                 # palette gather / overlay blend (integer ops both sides)
                 color = self.palette_np[ids]
                 if self.want_overlay:
+                    if frames_host.ndim == 3:
+                        # planar-I420 source: reconstruct RGB for the blend
+                        from tpuseg.video.yuv import i420_to_rgb_flat
+
+                        h_dec = frames_host.shape[1] * 2 // 3
+                        frames_host = np.asarray(
+                            i420_to_rgb_flat(frames_host)
+                        ).reshape(frames_host.shape[0], h_dec, -1, 3)
                     imgs = frames_host.reshape(frames_host.shape[:3] + (3,))
                     if imgs.shape[1:3] != ids.shape[1:3]:
                         # device-resize mode: frames were shipped at decode
@@ -914,11 +940,14 @@ class VideoSegmenter:
         pad = (-len(arr)) % b
         if pad:
             arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-        carry0 = self._make_carry(arr.shape[1], arr.shape[2])
         if self.transport == "yuv420":
-            from tpuseg.video.yuv import rgb_to_i420
+            if arr.ndim == 4:
+                from tpuseg.video.yuv import rgb_to_i420
 
-            arr = rgb_to_i420(arr)
+                arr = rgb_to_i420(arr)
+            carry0 = self._make_carry(arr.shape[1] * 2 // 3, arr.shape[2])
+        else:
+            carry0 = self._make_carry(arr.shape[1], arr.shape[2])
         xs = arr.reshape(len(arr) // b, b, arr.shape[1], -1)  # flat frames
 
         @jax.jit
