@@ -21,18 +21,22 @@ cd "$(dirname "$0")/.."
 VID=/root/reference/Road_1101.mp4
 [ -f "$VID" ] || VID=shapes   # zero-asset fallback
 
-run() {
-  local name=$1; shift
+run() {          # run <name> <cmd...>
+  run_t 2400 "$@"
+}
+run_t() {        # run_t <timeout_s> <name> <cmd...>
+  local t=$1 name=$2; shift 2
   echo "=== $name: $* (started $(date +%H:%M:%S))"
-  timeout 2400 "$@" >"$OUT/$name.log" 2>&1
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
   local rc=$?
   grep -h '^{' "$OUT/$name.log" | sed "s/^/{\"job\": \"$name\"} /" \
     >> "$OUT/summary.jsonl" || true
   echo "=== $name: rc=$rc"
 }
 
-# 1. official headline (has its own retry; give it the full window)
-run bench          python -u bench.py
+# 1. official headline; bench.py retries internally (up to 6 x 40 min on
+#    backend-unavailable), so its outer window must exceed one attempt
+run_t 9000 bench   python -u bench.py
 
 # 2. open mode-table cells (48 frames @1024x2048 batch 32, like the
 #    round-3 captures; agreement via --temporal-report)
