@@ -529,3 +529,124 @@ def test_budget_temporal_warp(rng):
     # the on-device rate benchmark threads the extended (luma) carry
     dev = seg_rw.benchmark_adaptive_device_fps([a, a, b, b], reps=1)
     assert dev["frames"] == 4 and dev["device_fps"] > 0
+
+
+def test_interval_nearest_reuse(rng):
+    """temporal_nearest (interval mode): frames whose accumulated-|delta|
+    path to the NEXT keyframe is smaller adopt its ids (all keyframes come
+    out of the same batched forward); frames nearer their preceding
+    keyframe — and keyframes themselves — are untouched."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    margs = (params, state, spec, [0.29, 0.33, 0.29], [0.18, 0.19, 0.18])
+    A = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    B = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    C = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    seq = [A, A, B, B, B, B, C, C]  # keyframes: 0 (A) and 4 (B)
+    kw = dict(compute_dtype=None, batch=8)
+    i_n = VideoSegmenter(*margs, temporal_interval=4, temporal_nearest=True,
+                         **kw).run(seq, warmup=False, need_color=False)["ids"]
+    i_f = VideoSegmenter(*margs, temporal_interval=4, **kw).run(
+        seq, warmup=False, need_color=False)["ids"]
+    i_e = VideoSegmenter(*margs, **kw).run(
+        seq, warmup=False, need_color=False)["ids"]
+    # frames 2,3 are B-content stuck behind the A keyframe: nearest
+    # reassigns them to the B keyframe at 4 (now exact); forward-only
+    # keeps them on A's ids
+    np.testing.assert_array_equal(i_n[2], i_e[2])
+    np.testing.assert_array_equal(i_n[3], i_e[3])
+    np.testing.assert_array_equal(i_f[2], i_e[0])
+    # keyframes and frames nearer their preceding key are untouched
+    for i in (0, 1, 4, 5):
+        np.testing.assert_array_equal(i_n[i], i_f[i])
+    # net: strictly better agreement with the exact run on this content
+    assert (i_n == i_e).mean() > (i_f == i_e).mean()
+
+
+def test_budget_nearest_reuse(rng):
+    """temporal_nearest (budget mode): drift-based bidirectional reuse —
+    an under-threshold frame adopts a LATER promotion when its drift path
+    there is smaller than back to the carried keyframe (exercised across
+    a run()-batch boundary via the carried accumulator), while a scene
+    cut's spike keeps pre-cut frames on the pre-cut keyframe."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    margs = (params, state, spec, [0.29, 0.33, 0.29], [0.18, 0.19, 0.18])
+    A = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    B = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+
+    # cut containment: [A, A, A, B] — promotions at 0 (first ever) and 3
+    # (the cut).  Frame 2 is time-closer to the cut keyframe, but the
+    # drift path to it contains the cut spike, so it stays on A's ids;
+    # the result equals the exact-selection sequential program
+    kw = dict(compute_dtype=None, batch=4)
+    near = VideoSegmenter(*margs, temporal_thresh=5.0, temporal_budget=2,
+                          temporal_nearest=True, **kw)
+    out = near.run([A, A, A, B], warmup=False, need_color=False)
+    assert out["promoted"] == 2
+    np.testing.assert_array_equal(out["ids"][1], out["ids"][0])
+    np.testing.assert_array_equal(out["ids"][2], out["ids"][0])
+    assert not np.array_equal(out["ids"][3], out["ids"][0])
+    seq_out = VideoSegmenter(*margs, temporal_thresh=5.0, **kw).run(
+        [A, A, A, B], warmup=False, need_color=False)
+    np.testing.assert_array_equal(out["ids"], seq_out["ids"])
+
+    # forward adoption across the batch boundary: 8 frames drifting
+    # A -> B in equal sub-threshold steps, batch 4, budget 1.  The
+    # threshold is set between the measured 4- and 5-step drifts, so
+    # promotions land at global frames 0 and 5; frame 4's drift back to
+    # keyframe 0 (4 steps, via the carried accumulator) exceeds its
+    # 1-step drift forward to the promotion at 5 -> it adopts frame 5's
+    # ids; forward-only reuse keeps it on frame 0's
+    fs = [np.clip(
+        A.astype(np.float32) * (1 - t) + B.astype(np.float32) * t, 0, 255
+    ).astype(np.uint8) for t in np.linspace(0.0, 0.21, 8)]
+    d = [float(np.mean(np.abs(fs[i + 1].astype(np.int16)
+                              - fs[i].astype(np.int16))))
+         for i in range(7)]
+    thresh = (sum(d[:4]) + sum(d[:5])) / 2.0
+    kw1 = dict(compute_dtype=None, batch=4, temporal_thresh=thresh,
+               temporal_budget=1)
+    o_n = VideoSegmenter(*margs, temporal_nearest=True, **kw1).run(
+        fs, warmup=False, need_color=False)
+    o_f = VideoSegmenter(*margs, **kw1).run(
+        fs, warmup=False, need_color=False)
+    assert o_n["promoted"] == o_f["promoted"] == 2  # selection unchanged
+    np.testing.assert_array_equal(o_n["ids"][4], o_n["ids"][5])
+    np.testing.assert_array_equal(o_f["ids"][4], o_f["ids"][0])
+    assert not np.array_equal(o_n["ids"][4], o_n["ids"][0])
+
+    # composes with warp (identity on static content; needs frames large
+    # enough for the 16-block pooled-luma grid) and the device-rate
+    # benchmark threads the same carry
+    Aw = rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+    Bw = rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+    seg_wn = VideoSegmenter(*margs, temporal_thresh=5.0, temporal_budget=2,
+                            temporal_nearest=True, temporal_warp=True, **kw)
+    o_wn = seg_wn.run([Aw, Aw, Bw, Bw], warmup=False, need_color=False)
+    o_c = VideoSegmenter(*margs, temporal_thresh=5.0, temporal_budget=2,
+                         **kw).run([Aw, Aw, Bw, Bw], warmup=False,
+                                   need_color=False)
+    np.testing.assert_array_equal(o_wn["ids"], o_c["ids"])
+    dev = seg_wn.benchmark_adaptive_device_fps([Aw, Aw, Bw, Bw], reps=1)
+    assert dev["frames"] == 4 and dev["device_fps"] > 0
+
+
+def test_temporal_nearest_requires_batched_mode():
+    """nearest reuse needs lookahead: the sequential adaptive scan and the
+    exact per-frame mode must reject it."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.video import VideoSegmenter
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    margs = (params, state, spec, [0.29, 0.33, 0.29], [0.18, 0.19, 0.18])
+    with pytest.raises(AssertionError, match="temporal_nearest"):
+        VideoSegmenter(*margs, compute_dtype=None, batch=4,
+                       temporal_nearest=True)
+    with pytest.raises(AssertionError, match="temporal_nearest"):
+        VideoSegmenter(*margs, compute_dtype=None, batch=4,
+                       temporal_thresh=5.0, temporal_nearest=True)

@@ -107,6 +107,17 @@ def parse_args(argv=None):
                         "lost to motion on translation-dominant content "
                         "(measured +0.9-1.3pt on sample.mp4, neutral on "
                         "slow scenes).  Target dims must divide 128")
+    p.add_argument("--temporal-nearest", action="store_true",
+                   help="with --temporal N, or with --temporal-thresh + "
+                        "--temporal-budget: bidirectional reuse — each "
+                        "non-key frame takes ids from the NEAREST keyframe "
+                        "behind OR ahead within the batch instead of the "
+                        "preceding one.  Zero extra compute (all keyframes "
+                        "come out of the same batched forward) and no "
+                        "added latency (batched serving already buffers "
+                        "the batch); halves the max reuse distance, which "
+                        "is where temporal modes pay accuracy on moving "
+                        "boundaries.  Composes with --temporal-warp")
     p.add_argument("--temporal-budget", type=int, default=None, metavar="K",
                    help="with --temporal-thresh: budgeted batch promotion "
                         "— a cheap diff scan picks up to K content-chosen "
@@ -249,6 +260,7 @@ def main(argv=None):
         temporal_thresh=args.temporal_thresh,
         temporal_budget=args.temporal_budget,
         temporal_warp=args.temporal_warp,
+        temporal_nearest=args.temporal_nearest,
         mesh=_build_mesh(args.mesh_devices),
         transport=args.transport,
     )
@@ -287,6 +299,8 @@ def main(argv=None):
         line["temporal_interval"] = args.temporal
         if args.temporal_warp:
             line["temporal_warp"] = True
+        if args.temporal_nearest:
+            line["temporal_nearest"] = True
     if args.temporal_thresh is not None:
         line["temporal_thresh"] = args.temporal_thresh
         line["promotion_rate"] = round(result["promotion_rate"], 4)
@@ -294,6 +308,8 @@ def main(argv=None):
             line["temporal_budget"] = args.temporal_budget
             if args.temporal_warp:
                 line["temporal_warp"] = True
+            if args.temporal_nearest:
+                line["temporal_nearest"] = True
     if args.device_fps:
         if args.temporal_thresh is not None:
             # adaptive device rate is content-dependent: measure on the

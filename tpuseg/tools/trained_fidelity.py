@@ -272,12 +272,17 @@ def stage_fidelity(args) -> None:
         "int8_calib": dict(quantize=True, calib_frames=frames[:8]),
         "temporal2": dict(temporal_interval=2),
         "temporal4": dict(temporal_interval=4),
+        "temporal4_nearest": dict(temporal_interval=4, temporal_nearest=True),
         "budget": dict(budget),
+        "budget_nearest": dict(budget, temporal_nearest=True),
         "budget_int8": dict(budget, quantize=True, calib_frames=frames[:8]),
     }
     if warp_ok:
         modes["temporal2_warp"] = dict(temporal_interval=2, temporal_warp=True)
         modes["budget_warp"] = dict(budget, temporal_warp=True)
+        modes["budget_warp_nearest"] = dict(
+            budget, temporal_warp=True, temporal_nearest=True
+        )
         modes["budget_warp_int8"] = dict(
             budget, temporal_warp=True, quantize=True, calib_frames=frames[:8]
         )

@@ -147,6 +147,7 @@ class VideoSegmenter:
         temporal_thresh: float | None = None,
         temporal_budget: int | None = None,
         temporal_warp: bool = False,
+        temporal_nearest: bool = False,
         mesh=None,
         transport: str = "rgb",
     ):
@@ -188,6 +189,20 @@ class VideoSegmenter:
         # B frames -> device rate ~ B/K x the batched rate) while
         # keyframes still land exactly where the content changes; beyond-
         # budget changes wait for the next batch (bounded staleness).
+        # ``temporal_nearest=True`` upgrades reuse in the BATCHED modes
+        # (interval, budgeted) from forward-only to BIDIRECTIONAL: a
+        # non-key frame takes ids from the nearest keyframe in either
+        # direction within the batch (ties break causal/backward).  All
+        # keyframes of a batch come out of the same batched forward, so
+        # looking ahead costs zero extra compute — only the id gather's
+        # index mapping changes — and batched serving already buffers the
+        # whole batch, so no latency is added either.  Max reuse distance
+        # drops from N-1 to floor(N/2) (interval mode), which matters on
+        # trained weights: boundary-band staleness is where temporal
+        # modes pay GT-mIoU (PERF_NOTES round 4).  Off by default so
+        # agreement numbers stay comparable with the causal semantics;
+        # not applicable to the sequential adaptive mode (a scan cannot
+        # see future frames).
         # ``exec_plans`` serves a compressed model: a per-conv execution
         # plan dict from tpuseg.models.sparse_exec.build_sparse_plans
         # (block-sparse Pallas kernels), optionally lifted to int8 with
@@ -339,6 +354,14 @@ class VideoSegmenter:
         assert temporal_budget is None or temporal_thresh is not None, (
             "temporal_budget requires temporal_thresh"
         )
+        assert not temporal_nearest or (
+            temporal_interval > 1
+            or (temporal_thresh is not None and temporal_budget is not None)
+        ), (
+            "temporal_nearest requires a BATCHED reuse mode "
+            "(temporal_interval > 1, or temporal_thresh + temporal_budget); "
+            "the sequential adaptive scan cannot look ahead"
+        )
 
         def resize_frames(frames_u8):
             # frames_u8 is (B, H, W, 3) or FLAT (B, H, W*3) — the same bytes,
@@ -426,8 +449,46 @@ class VideoSegmenter:
                           if temporal_interval > 1 else frames_u8)
             ids = ids_for(frames_fwd, flat, h, w)
             if temporal_interval > 1:
-                # each non-key frame reuses its preceding keyframe's ids
-                ids = jnp.repeat(ids, temporal_interval, axis=0)[:n_frames]
+                if temporal_nearest:
+                    # bidirectional reuse: frame i gathers ids from the
+                    # keyframe (behind or ahead) with the smaller
+                    # accumulated-|delta| path.  Same forwards — only the
+                    # gather's index map changes — but the max reuse
+                    # distance halves (N-1 -> ~N/2) on steady motion,
+                    # while at a scene cut the post-cut spike in the
+                    # forward path keeps pre-cut frames on the pre-cut
+                    # keyframe.  Deltas read the raw (decode-res) frames:
+                    # one u8 diff pass, bandwidth-trivial next to the B/N
+                    # forwards.  Ties stay causal (strict <).
+                    n_keys = ids.shape[0]
+                    d = jnp.mean(
+                        jnp.abs(
+                            raw_frames[1:].astype(jnp.int16)
+                            - raw_frames[:-1].astype(jnp.int16)
+                        ).astype(jnp.float32),
+                        axis=tuple(range(1, raw_frames.ndim)),
+                    )
+                    cum = jnp.concatenate(
+                        [jnp.zeros((1,), jnp.float32), jnp.cumsum(d)]
+                    )
+                    prev_k = np.arange(n_frames) // temporal_interval
+                    next_k = np.minimum(prev_k + 1, n_keys - 1)
+                    drift_prev = cum - cum[prev_k * temporal_interval]
+                    drift_next = (
+                        cum[np.minimum(next_k * temporal_interval,
+                                       n_frames - 1)] - cum
+                    )
+                    key_of = jnp.where(
+                        jnp.logical_and(next_k > prev_k,
+                                        drift_next < drift_prev),
+                        next_k, prev_k,
+                    )
+                    ids = ids[key_of]
+                else:
+                    # each non-key frame reuses its PRECEDING keyframe's ids
+                    ids = jnp.repeat(
+                        ids, temporal_interval, axis=0
+                    )[:n_frames]
                 if temporal_warp:
                     # motion-compensated reuse: estimate per-block shifts
                     # keyframe -> frame on pooled luma and shift the ids
@@ -444,9 +505,15 @@ class VideoSegmenter:
                     )
 
                     cs = pooled_luma(raw_frames, grid=(h // 8, w // 8))
-                    ks = jnp.repeat(
-                        cs[::temporal_interval], temporal_interval, axis=0,
-                    )[:n_frames]
+                    if temporal_nearest:
+                        # shift estimation must pair each frame with the
+                        # SAME keyframe its ids came from
+                        ks = cs[::temporal_interval][key_of]
+                    else:
+                        ks = jnp.repeat(
+                            cs[::temporal_interval], temporal_interval,
+                            axis=0,
+                        )[:n_frames]
                     dy, dx = estimate_block_shifts(ks, cs)
                     ids = warp_ids(ids, dy, dx, scale=8, block=16)
             return outputs(ids, frames_u8, flat, h, w)
@@ -533,6 +600,7 @@ class VideoSegmenter:
                 one = run.astype(jnp.int32)
                 return (acc, used + one, n + one), run
 
+            acc_in = acc0  # drift live-keyframe -> carry point (pre-scan)
             (acc0, _, n_keyed), flags = jax.lax.scan(
                 sel, (acc0, jnp.zeros((), jnp.int32), n_keyed), d
             )
@@ -550,9 +618,36 @@ class VideoSegmenter:
             )
             sel_frames, flat, h, w = resize_frames(frames_u8[fwd_idx])
             ids_k = ids_for(sel_frames, flat, h, w)
+            total = cs[-1]  # promotions made this batch
+            if temporal_nearest:
+                # bidirectional reuse: each frame gathers ids from the
+                # promoted frame with the smaller accumulated-|delta| PATH
+                # (drift), behind OR ahead in the batch — all K keyframes
+                # come out of the one batched forward, so looking ahead is
+                # free.  Drift, not frame distance: at a scene cut the
+                # path to the post-cut keyframe contains the cut's spike,
+                # so pre-cut frames keep the pre-cut keyframe (frame-
+                # distance nearest would copy wrong-scene ids backward).
+                # The carried ``acc0`` is the drift from the live keyframe
+                # to the carry point, so the backward path is exact across
+                # batch boundaries; ties stay causal (strict <).
+                cum = jnp.cumsum(d)
+                next_slot = keyslot + 1
+                pos_prev = fwd_idx[jnp.clip(keyslot, 0, K - 1)]
+                pos_next = fwd_idx[jnp.clip(next_slot, 0, K - 1)]
+                drift_prev = jnp.where(
+                    keyslot >= 0, cum - cum[pos_prev], acc_in + cum
+                )
+                drift_next = cum[pos_next] - cum
+                use_next = jnp.logical_and(
+                    next_slot < total, drift_next < drift_prev
+                )
+                slot_eff = jnp.where(use_next, next_slot, keyslot)
+            else:
+                slot_eff = keyslot
             ids = jnp.where(
-                (keyslot >= 0)[:, None, None],
-                ids_k[jnp.clip(keyslot, 0, K - 1)],
+                (slot_eff >= 0)[:, None, None],
+                ids_k[jnp.clip(slot_eff, 0, K - 1)],
                 key_ids[None],
             )
             # every frame carries its keyframe's ids, so the last frame's
@@ -581,8 +676,8 @@ class VideoSegmenter:
                 th, tw = ids.shape[1], ids.shape[2]
                 small = pooled_luma(frames_u8, grid=(th // 8, tw // 8))
                 key_small = jnp.where(
-                    (keyslot >= 0)[:, None, None],
-                    small[fwd_idx][jnp.clip(keyslot, 0, K - 1)],
+                    (slot_eff >= 0)[:, None, None],
+                    small[fwd_idx][jnp.clip(slot_eff, 0, K - 1)],
                     key_luma[None],
                 )
                 dy, dx = estimate_block_shifts(key_small, small)
