@@ -48,6 +48,11 @@ run budget_warp_i8 python -u -m tpuseg.cli.seg_video --video "$VID" \
   --size 1024x2048 --frames 48 --batch 32 \
   --temporal-thresh 8 --temporal-budget 8 --temporal-warp \
   --quantize --calibrate 8 --device-fps --temporal-report
+# drift-nearest reuse: device fps (same forwards + one id gather; compare
+# round-3 forward-only N=4: 415 fps) and agreement on the same video
+run t4_nearest     python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 48 --batch 32 \
+  --temporal 4 --temporal-nearest --device-fps --temporal-report
 
 # 3. real-video e2e: transport comparison (batch 8 serving config)
 run e2e_rgb        python -u -m tpuseg.cli.seg_video --video "$VID" \

@@ -271,6 +271,7 @@ def stage_fidelity(args) -> None:
         "int8_dynamic": dict(quantize=True),
         "int8_calib": dict(quantize=True, calib_frames=frames[:8]),
         "temporal2": dict(temporal_interval=2),
+        "temporal2_nearest": dict(temporal_interval=2, temporal_nearest=True),
         "temporal4": dict(temporal_interval=4),
         "temporal4_nearest": dict(temporal_interval=4, temporal_nearest=True),
         "budget": dict(budget),
