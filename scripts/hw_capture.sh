@@ -59,6 +59,11 @@ run e2e_rgb        python -u -m tpuseg.cli.seg_video --video "$VID" \
   --size 1024x2048 --frames 48 --batch 8
 run e2e_yuv420     python -u -m tpuseg.cli.seg_video --video "$VID" \
   --size 1024x2048 --frames 48 --batch 8 --transport yuv420
+# exact 5-bit id packing on the D2H leg (the measured e2e floor is the
+# ids fetch: 16 MB/batch at ~45 MB/s); stacked with yuv420 both link
+# legs are minimal — ceiling moves ~23 -> ~36 fps if the link holds
+run e2e_idpack     python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 48 --batch 8 --transport yuv420 --ids-pack 5
 
 # 3b. trained-weights fidelity: the int8 half of the mode matrix is
 #     TPU-only (XLA-CPU's naive int8 conv); needs the checkpoint from the

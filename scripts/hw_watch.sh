@@ -8,7 +8,7 @@ OUT=${1:-runs/hw_r04}
 mkdir -p "$OUT"
 for i in $(seq 1 60); do
   echo "probe $i $(date +%H:%M:%S)"
-  if timeout 240 python -c "import jax; d=jax.devices(); assert d[0].platform != 'cpu', d; print(d)" \
+  if timeout 1200 python -c "import jax; d=jax.devices(); assert d[0].platform != 'cpu', d; print(d)" \
       > "$OUT/probe.log" 2>&1; then
     echo "relay UP at $(date +%H:%M:%S); starting capture queue"
     bash scripts/hw_capture.sh "$OUT"

@@ -73,6 +73,14 @@ def parse_args(argv=None):
                         "the right call on slow links (tunneled/remote "
                         "chips); chroma is 2x2-subsampled so ids can "
                         "differ slightly at color edges")
+    p.add_argument("--ids-pack", type=int, default=None, metavar="BITS",
+                   help="pack fetched class ids to BITS bits/px on device "
+                        "(tpuseg.ops.idpack; EXACT — host unpacks before "
+                        "any output).  The D2H ids fetch is the e2e "
+                        "bottleneck on remote-attached chips; 19 classes "
+                        "fit in 5 bits (1.6x fewer link bytes), <=16 in 4 "
+                        "(2x).  Needs --size width divisible by 8; "
+                        "ids-only fetch mode (not --device-outputs)")
     p.add_argument("--device-outputs", action="store_true",
                    help="colorize/overlay on device and fetch RGB frames "
                         "(best on PCIe-attached chips; default fetches "
@@ -263,6 +271,7 @@ def main(argv=None):
         temporal_nearest=args.temporal_nearest,
         mesh=_build_mesh(args.mesh_devices),
         transport=args.transport,
+        ids_bits=args.ids_pack,
     )
     # with the yuv420 transport, real videos decode straight to packed
     # I420 planes (the native decoder emits them with no RGB detour) —

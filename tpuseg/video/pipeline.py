@@ -150,6 +150,7 @@ class VideoSegmenter:
         temporal_nearest: bool = False,
         mesh=None,
         transport: str = "rgb",
+        ids_bits: int | None = None,
     ):
         # ``temporal_interval=N`` exploits temporal redundancy (the
         # DeltaCNN observation: consecutive video frames change sparsely):
@@ -323,6 +324,34 @@ class VideoSegmenter:
         # the shapes world).  Composes with every serving mode.
         assert transport in ("rgb", "yuv420"), transport
         self.transport = transport
+        # ``ids_bits=5`` packs the fetched class ids to 5 bits/px on device
+        # (tpuseg.ops.idpack) — EXACT, unpacked on the host before any
+        # consumer sees them.  The D2H leg of the ids-only fetch is the
+        # end-to-end bottleneck on remote-attached chips (~45 MB/s on the
+        # tunneled dev chip => ~23 fps at 1024x2048; PERF_NOTES), and
+        # 19-class Cityscapes ids fit in 5 bits, so packing lifts the link
+        # ceiling 1.6x (2x at <=16 classes with ids_bits=4).  Requires the
+        # output width to be a multiple of 8 (every /8-grid serving size
+        # is).  Composes with every serving mode and with yuv420 transport
+        # (which shrinks the H2D leg the same way).
+        if ids_bits is not None:
+            assert 1 <= ids_bits <= 8, ids_bits
+            # the seg head's output channels are the class count
+            # (spec.num_classes is the CLASSIFIER head's, 0 for DRNSeg)
+            n_cls = self.params["seg.weight"].shape[-1]
+            assert n_cls <= (1 << ids_bits), (
+                f"ids_bits={ids_bits} cannot hold {n_cls} classes"
+            )
+        self._ids_bits = ids_bits
+        if ids_bits is not None and ids_bits < 8:
+            from tpuseg.ops.idpack import pack_ids
+
+            def ship(ids):
+                return pack_ids(ids, ids_bits)
+        else:
+
+            def ship(ids):
+                return ids
         if transport == "yuv420":
             from tpuseg.video.yuv import i420_to_rgb_flat
 
@@ -427,7 +456,8 @@ class VideoSegmenter:
 
         def outputs(ids, frames_u8, flat, h, w):
             if not device_outputs:
-                return ids, ids, ids
+                p = ship(ids)
+                return p, p, p
             color = jnp.take(palette_dev, ids, axis=0)
             if want_overlay:
                 if flat:
@@ -687,7 +717,8 @@ class VideoSegmenter:
                 frames_t, flat_t, _, _ = resize_frames(frames_u8)
                 out = outputs(ids, frames_t, flat_t, h, w)
             else:
-                out = (ids, ids, ids)
+                p = ship(ids)
+                out = (p, p, p)
             return (out, flags, tuple(carry))
 
         self.temporal_thresh = temporal_thresh
@@ -877,6 +908,10 @@ class VideoSegmenter:
             if promoted is not None:
                 promoted_flags.append(np.asarray(promoted)[:n])
             ids = np.asarray(ids)  # forces completion (device->host)
+            if self._ids_bits is not None and not self.device_outputs:
+                from tpuseg.ops.idpack import unpack_ids
+
+                ids = unpack_ids(ids, self._ids_bits)
             if not need_color:
                 color = None
             elif self.device_outputs:
