@@ -34,6 +34,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -89,6 +90,15 @@ struct VDec {
 
   std::thread decoder;
   std::vector<std::thread> workers;
+
+  // single owner of the libav contexts: vdec_open2's early-failure returns
+  // (unique_ptr destruction) and vdec_close's `delete` both land here, so
+  // no path leaks the demuxer/decoder
+  ~VDec() {
+    for (auto& pf : decoded) av_frame_free(&pf.frame);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
 };
 
 void decode_loop(VDec* v) {
@@ -155,6 +165,7 @@ void sws_loop(VDec* v) {
   SwsContext* sws = nullptr;
   int src_w = -1, src_h = -1;
   AVPixelFormat src_fmt = AV_PIX_FMT_NONE;
+  bool src_is_rgb = false;  // RGB-family input (sws does the YUV conversion)
   while (true) {
     PendingFrame pf{nullptr, -1};
     {
@@ -199,13 +210,20 @@ void sws_loop(VDec* v) {
           src_w, src_h, src_fmt, src_w, src_h,
           v->out_fmt == 1 ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_RGB24,
           SWS_BILINEAR, nullptr, nullptr, nullptr);
+      const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(src_fmt);
+      src_is_rgb = desc && (desc->flags & AV_PIX_FMT_FLAG_RGB);
     }
     if (v->out_fmt == 1) {
       // the packed-I420 contract is FULL-range BT.601 (the exact inverse
       // of tpuseg.video.yuv's device-side reconstruction); most sources
       // are studio-range, and sws's unscaled YUV->YUV path does NOT
-      // range-convert, so expand explicitly with LUTs after conversion
-      const bool expand = pf.frame->color_range != AVCOL_RANGE_JPEG;
+      // range-convert, so expand explicitly with LUTs after conversion.
+      // RGB-family sources carry a JPEG range tag but sws's RGB->YUV
+      // converters emit STUDIO range regardless (and silently ignore
+      // sws_setColorspaceDetails for some formats, e.g. BGR24), so the
+      // tag must not suppress the expansion there.
+      const bool expand =
+          src_is_rgb || pf.frame->color_range != AVCOL_RANGE_JPEG;
       static const auto luts = [] {
         struct L { uint8_t y[256], c[256]; } t;
         for (int i = 0; i < 256; ++i) {
@@ -392,10 +410,7 @@ void vdec_close(void* h) {
   if (v->decoder.joinable()) v->decoder.join();
   for (auto& t : v->workers)
     if (t.joinable()) t.join();
-  for (auto& pf : v->decoded) av_frame_free(&pf.frame);
-  if (v->codec) avcodec_free_context(&v->codec);
-  if (v->fmt) avformat_close_input(&v->fmt);
-  delete v;
+  delete v;  // ~VDec frees queued frames + codec + format contexts
 }
 
 }  // extern "C"

@@ -29,7 +29,9 @@ run_t() {        # run_t <timeout_s> <name> <cmd...>
   echo "=== $name: $* (started $(date +%H:%M:%S))"
   timeout "$t" "$@" >"$OUT/$name.log" 2>&1
   local rc=$?
-  grep -h '^{' "$OUT/$name.log" | sed "s/^/{\"job\": \"$name\"} /" \
+  # fold the job label INTO each JSON object so summary.jsonl stays
+  # valid JSONL (one parseable object per line)
+  grep -h '^{' "$OUT/$name.log" | sed "s/^{/{\"job\": \"$name\", /" \
     >> "$OUT/summary.jsonl" || true
   echo "=== $name: rc=$rc"
 }

@@ -116,3 +116,45 @@ def test_orbax_load_falls_back_to_committed_sibling(tmp_path):
     p, _, _, _, meta = load_checkpoint(final)
     assert meta["epoch"] == 9
     np.testing.assert_array_equal(p["w"], params["w"])
+
+
+def test_orbax_committed_new_beats_stale_final(tmp_path):
+    """Round-4 review: an async save that COMMITTED to <path>.new but
+    crashed before the swap is the newest durable checkpoint.  Load must
+    prefer it over the older <path>, and the next save must rescue (swap)
+    it rather than rmtree it as a stale sibling."""
+    from tpuseg.train import save_checkpoint
+
+    final = str(tmp_path / "checkpoint.orbax")
+    save_checkpoint(final, {"w": np.full((4,), 1.0, np.float32)}, {},
+                    meta={"epoch": 1})
+    # fabricate the crash window: epoch-2 save committed at .new, swap lost
+    # (stage under a .orbax name so it dispatches to the orbax envelope)
+    stage = str(tmp_path / "stage" / "checkpoint.orbax")
+    save_checkpoint(stage, {"w": np.full((4,), 2.0, np.float32)},
+                    {}, meta={"epoch": 2})
+    os.rename(stage, final + ".new")
+    assert load_checkpoint(final)[4]["epoch"] == 2, \
+        "committed .new must win over the older final path"
+    # the next save must fold the rescued epoch-2 in (not delete it) before
+    # landing epoch 3
+    save_checkpoint(final, {"w": np.full((4,), 3.0, np.float32)}, {},
+                    meta={"epoch": 3})
+    assert load_checkpoint(final)[4]["epoch"] == 3
+    assert not os.path.exists(final + ".new")
+
+
+def test_orbax_uncommitted_new_is_cleaned(tmp_path):
+    """An UNCOMMITTED .new sibling (crash mid-write) must be removed so the
+    next save succeeds, and load must ignore it in favor of <path>."""
+    from tpuseg.train import save_checkpoint
+
+    final = str(tmp_path / "checkpoint.orbax")
+    save_checkpoint(final, {"w": np.full((4,), 1.0, np.float32)}, {},
+                    meta={"epoch": 1})
+    os.makedirs(final + ".new")  # empty dir: never committed by orbax
+    assert load_checkpoint(final)[4]["epoch"] == 1
+    save_checkpoint(final, {"w": np.full((4,), 2.0, np.float32)}, {},
+                    meta={"epoch": 2})
+    assert load_checkpoint(final)[4]["epoch"] == 2
+    assert not os.path.exists(final + ".new")

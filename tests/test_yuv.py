@@ -129,6 +129,69 @@ def test_frame_source_i420_fallback_matches_native_shape():
     assert all(f.shape == (96, 64) and f.dtype == np.uint8 for f in frames)
 
 
+def _write_raw_bgr_avi(path, frames, fps=10):
+    """Uncompressed BI_RGB (bottom-up BGR24) AVI — pure-python encoder so
+    the suite can fabricate an RGB-pixel-format video (no ffmpeg CLI in
+    this image).  Width must be a multiple of 4 (no DIB row padding)."""
+    import struct
+
+    h, w = frames[0].shape[:2]
+    n = len(frames)
+    fb = w * h * 3
+
+    def chunk(tag, data):
+        pad = b"\0" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(four, data):
+        return chunk(b"LIST", four + data)
+
+    avih = chunk(b"avih", struct.pack(
+        "<14I", int(1e6 / fps), fb * fps, 0, 0x10, n, 0, 1, fb, w, h,
+        0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, fb, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(
+        chunk(b"00db", f[::-1].astype(np.uint8)[..., ::-1].tobytes())
+        for f in frames))
+    riff = b"AVI " + hdrl + movi
+    with open(path, "wb") as fo:
+        fo.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_native_decoder_i420_full_range_on_rgb_source(tmp_path):
+    """Round-4 review: an RGB-pixel-format source (screen captures,
+    png2mp4, rawvideo) tags its frames JPEG-range, but sws's RGB->YUV
+    converters emit STUDIO range regardless — the decoder must still
+    expand to the packed-I420 contract's full range (else device-side
+    reconstruction washes out: black 16, white 235)."""
+    from tpuseg.video.native_source import NativeFrameSource, available
+
+    if not available():
+        pytest.skip("libtpuseg_videodec.so not built")
+    rng = np.random.default_rng(3)
+    frames = [np.full((64, 64, 3), v, np.uint8) for v in (0, 255)]
+    frames.append(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    path = str(tmp_path / "rgbsrc.avi")
+    _write_raw_bgr_avi(path, frames)
+    # RGB decode of a raw BGR video is bit-exact — sanity anchor
+    it_rgb = iter(NativeFrameSource(path, (64, 64), fmt="rgb"))
+    np.testing.assert_array_equal(next(it_rgb), frames[0])
+    it = iter(NativeFrameSource(path, (64, 64), fmt="i420"))
+    y_black = next(it)[:64].mean()
+    y_white = next(it)[:64].mean()
+    assert y_black < 2.0, f"black luma {y_black} (studio-range leak: 16)"
+    assert y_white > 253.0, f"white luma {y_white} (studio-range leak: 235)"
+    # and the full conversion agrees with the host-side reference packer
+    diff = np.abs(next(it).astype(int)
+                  - rgb_to_i420(frames[2][None])[0].astype(int))
+    assert diff.mean() < 2.0
+
+
 def test_yuv420_run_accepts_planar_frames():
     """VideoSegmenter(transport='yuv420') consumes pre-packed I420 frames
     (the native-decoder path) and produces the same ids as RGB frames of

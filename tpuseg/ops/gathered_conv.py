@@ -112,6 +112,28 @@ def plan_gathered_conv(
     )
 
 
+def _same_pad(kernel: int, dilation: int) -> int:
+    return dilation * (kernel - 1) // 2
+
+
+def _gather_parts(x: jax.Array, idx: np.ndarray, bk: int) -> list[jax.Array]:
+    """The shared channel gather: one 128-aligned slice per (block, support)
+    entry — a single lane-granular permutation/duplication XLA fuses into
+    one copy.  Used identically by the bf16 and int8 lowerings (one source
+    of truth for the gather layout)."""
+    return [
+        x[..., int(k) * bk : (int(k) + 1) * bk]
+        for row in idx
+        for k in row
+    ]
+
+
+def _per_block_inputs(parts: list[jax.Array], nmb: int, s: int):
+    """Yield block j's gathered (..., S*bk) input from the flat parts list."""
+    for j in range(nmb):
+        yield jnp.concatenate(parts[j * s : (j + 1) * s], axis=-1)
+
+
 @dataclasses.dataclass
 class GatheredGroupConvQ:
     """Int8 variant: the same gather + per-block convs with int8 operands
@@ -132,9 +154,8 @@ class GatheredGroupConvQ:
     x_scale: float | None = None  # static activation scale; None = dynamic
 
     def apply(self, x: jax.Array) -> jax.Array:
-        S, bk, bm = self.s, self.bk, self.bm
-        nmb = self.cout // bm
-        pad = self.dilation * (self.kernel - 1) // 2
+        nmb = self.cout // self.bm
+        pad = _same_pad(self.kernel, self.dilation)
         if self.x_scale is None:
             absmax = jnp.max(
                 jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True
@@ -145,14 +166,9 @@ class GatheredGroupConvQ:
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
         ).astype(jnp.int8)
-        parts = [
-            xq[..., int(k) * bk : (int(k) + 1) * bk]
-            for j in range(nmb)
-            for k in self.idx[j]
-        ]
+        parts = _gather_parts(xq, self.idx, self.bk)
         outs = []
-        for j in range(nmb):
-            xg = jnp.concatenate(parts[j * S : (j + 1) * S], axis=-1)
+        for j, xg in enumerate(_per_block_inputs(parts, nmb, self.s)):
             y = jax.lax.conv_general_dilated(
                 xg, self.w_q[j],
                 window_strides=(1, 1),
@@ -204,14 +220,8 @@ def gathered_conv_apply(x: jax.Array, plan: GatheredGroupConv) -> jax.Array:
 
     S, bk, bm = plan.s, plan.bk, plan.bm
     nmb = plan.cout // bm
-    pad = plan.dilation * (plan.kernel - 1) // 2
-    # one lane-granular channel permutation/duplication shared by all taps
-    # (static concat of 128-aligned slices — XLA fuses it into one copy)
-    parts = [
-        x[..., int(k) * bk : (int(k) + 1) * bk]
-        for j in range(nmb)
-        for k in plan.idx[j]
-    ]
+    pad = _same_pad(plan.kernel, plan.dilation)
+    parts = _gather_parts(x, plan.idx, bk)
     if plan.mode == "grouped":
         xg = jnp.concatenate(parts, axis=-1)  # (N,H,W, nmb*S*bk)
         # grouped-conv HWIO weights: (kh, kw, S*bk, nmb*bm) with group g's
@@ -220,8 +230,8 @@ def gathered_conv_apply(x: jax.Array, plan: GatheredGroupConv) -> jax.Array:
             plan.kernel, plan.kernel, S * bk, nmb * bm
         )
         return conv2d(xg, w, 1, plan.dilation, pad, groups=nmb)
-    outs = []
-    for j in range(nmb):
-        xg = jnp.concatenate(parts[j * S : (j + 1) * S], axis=-1)
-        outs.append(conv2d(xg, plan.w[j], 1, plan.dilation, pad))
+    outs = [
+        conv2d(xg, plan.w[j], 1, plan.dilation, pad)
+        for j, xg in enumerate(_per_block_inputs(parts, nmb, S))
+    ]
     return jnp.concatenate(outs, axis=-1)

@@ -63,23 +63,47 @@ def _barrier(tag: str) -> None:
         multihost_utils.sync_global_devices(tag)
 
 
-def _swap_into_place(tmp: str, final: str) -> None:
-    """Rename a COMMITTED save at ``tmp`` over ``final`` (rank-0 only).
+def _is_committed(path: str) -> bool:
+    """True iff ``path`` is a checkpoint directory orbax finished committing
+    (uncommitted saves live at ``*.orbax-checkpoint-tmp-*`` siblings or carry
+    a tmp marker, depending on the protocol orbax picked for the FS)."""
+    import orbax.checkpoint.utils as ocp_utils
+
+    try:
+        # Under the rename protocol any final-named dir is "finalized", so
+        # also require orbax's metadata marker — an empty/foreign dir at the
+        # sibling path must read as NOT committed (and get cleaned).
+        return (
+            os.path.isdir(path)
+            and os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+            and bool(ocp_utils.is_checkpoint_finalized(path))
+        )
+    except (OSError, ValueError):
+        return False
+
+
+def _rename_over(tmp: str, final: str) -> None:
+    """Plain-filesystem rename of a COMMITTED save at ``tmp`` over ``final``
+    (caller must be rank 0; no collectives inside).
 
     The old checkpoint is moved aside (``<final>.old``) rather than deleted
     first, so a crash at any point leaves at least one durable checkpoint:
     either ``final`` (old or new) or a committed ``tmp`` that
     ``load_checkpoint_orbax`` falls back to.
     """
+    old = final + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _swap_into_place(tmp: str, final: str) -> None:
     if jax.process_index() == 0:
-        old = final + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        _rename_over(tmp, final)
     _barrier("tpuseg_ckpt_swap")
 
 
@@ -132,10 +156,25 @@ def save_checkpoint_orbax(
     # process races the filesystem ops
     is_primary = jax.process_index() == 0
     tmp = path + ".new"
-    if os.path.exists(tmp):  # stale sibling from a crashed earlier save
-        if is_primary:
+    if is_primary:
+        if _is_committed(tmp):
+            # A crash landed between orbax's commit and our swap: the
+            # ``.new`` sibling is the NEWEST durable checkpoint.  Rescue it
+            # (swap it over ``path``) instead of deleting it.
+            _rename_over(tmp, path)
+        elif os.path.exists(tmp):
+            # stale UNCOMMITTED sibling from a crashed earlier save
             shutil.rmtree(tmp)
-        _barrier("tpuseg_ckpt_clean")
+        # uncommitted orbax scratch dirs from crashed saves (rename
+        # protocol): ``<tmp>.orbax-checkpoint-tmp-<ts>``
+        import glob
+
+        for scratch in glob.glob(tmp + ".orbax-checkpoint-tmp-*"):
+            shutil.rmtree(scratch, ignore_errors=True)
+    # Unconditional: every rank joins regardless of the filesystem state it
+    # observed (a conditional barrier deadlocks when ranks disagree about
+    # whether the stale sibling existed).
+    _barrier("tpuseg_ckpt_clean")
     # The save lands beside the live checkpoint; ``path`` keeps serving the
     # previous save until the new one has COMMITTED (async: until
     # wait_until_finished).  A crash anywhere in the async window loses
@@ -175,7 +214,12 @@ def load_checkpoint_orbax(path: str):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    if not os.path.exists(path):
+    # A committed ``.new`` is strictly newer than ``path`` (saves finalize
+    # the pending swap before starting the next one), so prefer it: a crash
+    # between orbax's commit and the swap must not silently roll back.
+    if _is_committed(path + ".new"):
+        path = path + ".new"
+    elif not os.path.exists(path):
         for sibling in (path + ".new", path + ".old"):
             if os.path.exists(sibling):
                 path = sibling

@@ -923,9 +923,10 @@ class VideoSegmenter:
                 if self.want_overlay:
                     if frames_host.ndim == 3:
                         # planar-I420 source: reconstruct RGB for the blend
-                        from tpuseg.video.yuv import i420_to_rgb_flat
+                        from tpuseg.video.yuv import (i420_geometry,
+                                                      i420_to_rgb_flat)
 
-                        h_dec = frames_host.shape[1] * 2 // 3
+                        h_dec = i420_geometry(frames_host.shape[1])
                         frames_host = np.asarray(
                             i420_to_rgb_flat(frames_host)
                         ).reshape(frames_host.shape[0], h_dec, -1, 3)
@@ -1075,7 +1076,10 @@ class VideoSegmenter:
                 from tpuseg.video.yuv import rgb_to_i420
 
                 arr = rgb_to_i420(arr)
-            carry0 = self._make_carry(arr.shape[1] * 2 // 3, arr.shape[2])
+            from tpuseg.video.yuv import i420_geometry
+
+            carry0 = self._make_carry(i420_geometry(arr.shape[1]),
+                                      arr.shape[2])
         else:
             carry0 = self._make_carry(arr.shape[1], arr.shape[2])
         xs = arr.reshape(len(arr) // b, b, arr.shape[1], -1)  # flat frames
