@@ -21,18 +21,32 @@ cd "$(dirname "$0")/.."
 VID=/root/reference/Road_1101.mp4
 [ -f "$VID" ] || VID=shapes   # zero-asset fallback
 
+INCOMPLETE=0
+
 run() {          # run <name> <cmd...>
   run_t 2400 "$@"
 }
 run_t() {        # run_t <timeout_s> <name> <cmd...>
   local t=$1 name=$2; shift 2
+  # Idempotent: a job that already produced its JSON line(s) is skipped,
+  # so re-running the whole script after a relay flap only redoes the
+  # jobs that failed (the watcher re-fires until the queue completes).
+  if [ -f "$OUT/$name.ok" ]; then
+    echo "=== $name: already captured, skipping"
+    return 0
+  fi
   echo "=== $name: $* (started $(date +%H:%M:%S))"
   timeout "$t" "$@" >"$OUT/$name.log" 2>&1
   local rc=$?
-  # fold the job label INTO each JSON object so summary.jsonl stays
-  # valid JSONL (one parseable object per line)
-  grep -h '^{' "$OUT/$name.log" | sed "s/^{/{\"job\": \"$name\", /" \
-    >> "$OUT/summary.jsonl" || true
+  if [ $rc -eq 0 ] && grep -q '^{' "$OUT/$name.log"; then
+    # fold the job label INTO each JSON object so summary.jsonl stays
+    # valid JSONL (one parseable object per line)
+    grep -h '^{' "$OUT/$name.log" | sed "s/^{/{\"job\": \"$name\", /" \
+      >> "$OUT/summary.jsonl"
+    touch "$OUT/$name.ok"
+  else
+    INCOMPLETE=1
+  fi
   echo "=== $name: rc=$rc"
 }
 
@@ -82,5 +96,6 @@ run sp_rmcdb       python -u bench_sparse.py --rmcdb
 run sp_layout      python -u bench_sparse.py --layout
 run sp_model       python -u bench_sparse.py --model
 
-echo "=== queue done; summary:"
-cat "$OUT/summary.jsonl"
+echo "=== queue done (incomplete=$INCOMPLETE); summary:"
+cat "$OUT/summary.jsonl" 2>/dev/null
+exit $INCOMPLETE
