@@ -90,7 +90,10 @@ void rmb_prune(float* mat, int64_t rows, int64_t cols, int64_t bh, int64_t bw,
   std::vector<uint8_t> keep(nrb * ncb, 1);
   if (spo > 0.0) {
     std::vector<double> meta(nrb * ncb);
-    if (bh == 1 || bw == 1) {
+    // |mat| fast path only when BOTH block dims are 1 (meta is nrb*ncb;
+    // with e.g. bh=2,bw=1 the old `||` gate wrote rows*cols elements —
+    // heap overflow — and mis-scored blocks)
+    if (bh == 1 && bw == 1) {
       for (int64_t i = 0; i < rows * cols; ++i)
         meta[i] = std::fabs(static_cast<double>(mat[i]));
     } else {

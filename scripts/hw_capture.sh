@@ -54,14 +54,15 @@ run_t() {        # run_t <timeout_s> <name> <cmd...>
 #    backend-unavailable), so its outer window must exceed one attempt
 run_t 9000 bench   python -u bench.py
 
-# 2. open mode-table cells (48 frames @1024x2048 batch 32, like the
-#    round-3 captures; agreement via --temporal-report)
+# 2. open mode-table cells (batch 32; 64 frames = 2 FULL batches — the
+#    adaptive device-fps benchmark measures whole real batches only;
+#    agreement via --temporal-report)
 run budget_warp    python -u -m tpuseg.cli.seg_video --video "$VID" \
-  --size 1024x2048 --frames 48 --batch 32 \
+  --size 1024x2048 --frames 64 --batch 32 \
   --temporal-thresh 8 --temporal-budget 8 --temporal-warp \
   --device-fps --temporal-report
 run budget_warp_i8 python -u -m tpuseg.cli.seg_video --video "$VID" \
-  --size 1024x2048 --frames 48 --batch 32 \
+  --size 1024x2048 --frames 64 --batch 32 \
   --temporal-thresh 8 --temporal-budget 8 --temporal-warp \
   --quantize --calibrate 8 --device-fps --temporal-report
 # drift-nearest reuse: device fps (same forwards + one id gather; compare

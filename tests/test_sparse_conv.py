@@ -117,6 +117,28 @@ def test_shared_fused_sparse_conv_matches(kernel, dilation):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
 
+def test_shared_sparse_conv_odd_grid_falls_back_rows_per_tile():
+    """Round-4 review: shared_sparse_conv_apply must degrade rows_per_tile
+    to the largest divisor of h (like every sibling kernel) instead of
+    asserting on odd feature grids (e.g. 300x300 inputs -> h=38)."""
+    from tpuseg.ops.sparse_conv import (plan_shared_sparse_conv,
+                                        shared_sparse_conv_apply)
+
+    rng = np.random.default_rng(11)
+    cin = cout = 256
+    w = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+    coarse = np.array([[1, 0], [1, 1]], dtype=np.float32)
+    mask = np.broadcast_to(
+        np.kron(coarse, np.ones((128, 128), np.float32)),
+        (3, 3, cin, cout)).copy()
+    x = jnp.asarray(rng.normal(size=(1, 6, 16, cin)).astype(np.float32))
+    plan = plan_shared_sparse_conv(w, mask, dilation=1, dtype=jnp.float32)
+    y = shared_sparse_conv_apply(x, plan, rows_per_tile=4)  # 6 % 4 -> R=3
+    ref = conv2d(x, jnp.asarray(w * mask), stride=1, dilation=1, padding=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_shared_plan_union_smaller_than_dense():
     from tpuseg.ops.sparse_conv import plan_shared_sparse_conv
 

@@ -186,6 +186,44 @@ def test_rmb_prune_parity():
     np.testing.assert_array_equal(ours, np.asarray(theirs, dtype=ours.dtype))
 
 
+def test_rmb_mixed_block_dims_outer_selection():
+    """Round-4 review: the |mat| outer-meta fast path is only valid when
+    BOTH block dims are 1.  Mixed dims (2x1 / 1x4) must score via
+    block_abs_sums — the reference's `bh != 1 and bw != 1` gate mis-scores
+    or crashes here (same bug class as the fixed rmcdb `rb`); the old C++
+    `||` gate additionally overflowed its nrb*ncb meta buffer."""
+    from tpuseg.sparsity.block import block_abs_sums
+
+    rng = np.random.default_rng(5)
+    # blocklet == the whole block so a surviving block fills fully and the
+    # test isolates the OUTER selection (the buggy path)
+    for bh, bw, shape in [(2, 1, (4, 8)), (1, 4, (4, 8))]:
+        t = rng.normal(size=shape)
+        cfg = RmbConfig(bh, bw, 0.5, [BlockletType(bh, bw)], [1])
+        mask, _ = prune_as_rmb(t, cfg)
+        # expected: per row-block drop blocks scoring <= the k-th smallest
+        # |sum|; survivors fill fully
+        meta = block_abs_sums(t.reshape(t.shape[0], -1), bh, bw)
+        thresh_ind = int(0.5 * meta.shape[1]) - 1
+        expected = np.zeros(shape)
+        for rb in range(meta.shape[0]):
+            thr = np.sort(np.abs(meta[rb]))[thresh_ind]
+            for cb in range(meta.shape[1]):
+                if meta[rb, cb] > thr:
+                    expected[rb * bh:(rb + 1) * bh,
+                             cb * bw:(cb + 1) * bw] = 1.0
+        np.testing.assert_array_equal(mask, expected)
+        # native fast path must agree with the python reference
+        from tpuseg import native
+
+        if native.available():
+            nat = native.rmb_prune(
+                np.ascontiguousarray(t.reshape(t.shape[0], -1), np.float32),
+                bh, bw, 0.5, cfg.bl_types, cfg.bl_counts,
+            )
+            np.testing.assert_array_equal(nat.reshape(shape), expected)
+
+
 def test_rmb_export_roundtrip(tmp_path):
     rng = np.random.default_rng(4)
     t = rng.normal(size=(8, 8))

@@ -48,6 +48,27 @@ def test_seg_loss_matches_torch_ce():
     assert ours == pytest.approx(float(ref), rel=1e-5)
 
 
+def test_combined_kd_loss_includes_class_255():
+    """Round-4 review: the KD hard term is a plain CE (the reference uses
+    CrossEntropyLoss with no ignore index, rmbsnn_main.py:459-462) — on a
+    >=256-class dataset, samples of class 255 must contribute, not be
+    silently dropped by the segmentation ignore default."""
+    torch = pytest.importorskip("torch")
+    from tpuseg.train.loss import combined_kd_loss
+
+    rng = np.random.default_rng(2)
+    c = 300
+    s = rng.normal(size=(6, c)).astype(np.float32)
+    t = rng.normal(size=(6, c)).astype(np.float32)
+    labels = np.array([255, 1, 255, 7, 299, 0])
+    ours = float(combined_kd_loss(
+        jnp.asarray(s), jnp.asarray(labels), jnp.asarray(t),
+        student_wt=1.0, distill_wt=0.0))
+    ref = torch.nn.CrossEntropyLoss()(
+        torch.from_numpy(s), torch.from_numpy(labels).long())
+    assert ours == pytest.approx(float(ref), rel=1e-5)
+
+
 def test_kd_loss_matches_torch():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F

@@ -20,6 +20,25 @@ def _segmenter(**kw):
                           compute_dtype=None, batch=4, **kw)
 
 
+def test_weights_flow_through_program_arguments():
+    """Round-4 review: the serving programs must consume the weights passed
+    at CALL time (self.params), not trace-time closure constants — else a
+    weight swap is silently ignored and mesh in_shardings don't govern the
+    weights actually used."""
+    import jax.numpy as jnp
+
+    seg = _segmenter()
+    frames = list(SyntheticFrames(4, (32, 32)))
+    before = seg.run(frames, warmup=False)["ids"]
+    # zero the seg head: all class logits tie -> argmax returns class 0
+    seg.params = dict(seg.params)
+    seg.params["seg.weight"] = jnp.zeros_like(seg.params["seg.weight"])
+    seg.params["seg.bias"] = jnp.zeros_like(seg.params["seg.bias"])
+    after = seg.run(frames, warmup=False)["ids"]
+    assert (after == 0).all(), "swapped-in zero seg head must zero the ids"
+    assert (before != after).any(), "the original ids were already trivial"
+
+
 def test_run_basic():
     seg = _segmenter()
     out = seg.run(SyntheticFrames(6, (32, 32)), warmup=False)

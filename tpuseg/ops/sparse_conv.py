@@ -277,20 +277,19 @@ def fused_sparse_conv_apply(
         # fall back to the largest tile height that divides h
         R -= 1
     assert h % R == 0, (h, R)
-    wp_est = -(-(w_ + 2 * pad) // 8) * 8
+    # padded W rounded up to the sublane tiling (8) — Mosaic requires DMA
+    # slice shapes on the tiled W dim to be 8-aligned; shared between the
+    # VMEM estimate and the actual pad so the two can't drift
+    wp = -(-(w_ + 2 * pad) // 8) * 8
     itemsize = jnp.dtype(plan.vals.dtype).itemsize
     # VMEM budget: slab (R+2p, wp, S*bk) + xmat (R*w, T*S*bk) + dot output.
     # R=16 already exceeds the 16MB scoped limit at DRN layer-6 sizes
     # (measured); keep tiles small.
-    est = (R * w_ * T * S * bk + (R + 2 * pad) * wp_est * S * bk) * itemsize
+    est = (R * w_ * T * S * bk + (R + 2 * pad) * wp * S * bk) * itemsize
     assert est < 12 * 2**20, (
         f"fused sparse conv tile too large for VMEM (~{est/2**20:.1f} MB); "
         f"reduce rows_per_tile (R={R})"
     )
-    # pad W so register slices stay in bounds, rounded up to the sublane
-    # tiling (8) — Mosaic requires DMA slice shapes on the tiled W dim to be
-    # 8-aligned
-    wp = -(-(w_ + 2 * pad) // 8) * 8
     xp = jnp.pad(
         x.astype(plan.vals.dtype),
         ((0, 0), (pad, pad), (pad, wp - w_ - pad), (0, 0)),
@@ -450,6 +449,11 @@ def shared_sparse_conv_apply(
     S, bk, bm = plan.s, plan.bk, plan.bm
     R = rows_per_tile
     nmb = plan.cout // bm
+    while R > 1 and h % R:
+        # odd feature grids (e.g. 300x300 inputs -> 38-row stride-8 grid)
+        # fall back to the largest tile height that divides h, matching
+        # every sibling kernel
+        R -= 1
     assert h % R == 0, (h, R)
     wp = -(-(w_ + 2 * pad) // 8) * 8
     itemsize = jnp.dtype(plan.vals.dtype).itemsize

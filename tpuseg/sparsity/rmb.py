@@ -65,10 +65,14 @@ def prune_as_rmb(
     assert cols % bw == 0, "Block width should divide columns"
     nrb, ncb = rows // bh, cols // bw
 
-    # Outer sparsity: per-row-block top-k of block scores.
+    # Outer sparsity: per-row-block top-k of block scores.  The |mat| fast
+    # path is only shape-consistent when BOTH block dims are 1 (the
+    # reference gates on `bh != 1 and bw != 1`, RmbPruner.py:147-152, which
+    # crashes/mis-scores for e.g. 2x1 or 1x4 blocks — same class of bug as
+    # the fixed rmcdb `rb`, see tpuseg.sparsity.rmcdb).
     meta_mask = np.ones((nrb, ncb))
     if cfg.spo > 0:
-        meta = np.abs(mat) if (bh == 1 or bw == 1) else block_abs_sums(mat, bh, bw)
+        meta = np.abs(mat) if (bh == 1 and bw == 1) else block_abs_sums(mat, bh, bw)
         thresh_ind = int(cfg.spo * meta.shape[1]) - 1
         if thresh_ind >= 0:
             for rb in range(nrb):

@@ -69,6 +69,9 @@ def combined_kd_loss(
     distill_wt: float = 0.5,
     temperature: float = 4.0,
 ):
-    hard = cross_entropy_ignore(student_logits, labels)
+    # classification labels have no ignore value (the reference's hard term
+    # is a plain CrossEntropyLoss, rmbsnn_main.py:459-462) — the seg default
+    # of 255 would silently drop class-255 samples on >=256-class datasets
+    hard = cross_entropy_ignore(student_logits, labels, ignore_index=-1)
     soft = kd_loss(student_logits, teacher_logits, temperature)
     return student_wt * hard + distill_wt * soft

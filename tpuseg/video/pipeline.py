@@ -415,9 +415,14 @@ class VideoSegmenter:
                 flat, h, w = True, th, tw
             return frames_u8, flat, h, w
 
-        def ids_for(frames_fwd, flat, h, w):
+        def ids_for(params, bn_state, frames_fwd, flat, h, w):
             """stem/normalize -> DRNSeg -> fused upsample+argmax -> cropped
-            uint8 class ids (B, h, w)."""
+            uint8 class ids (B, h, w).
+
+            ``params``/``bn_state`` are the PROGRAM's traced arguments —
+            weights must flow through the jit signature (where mesh mode's
+            in_shardings govern them and a ``self.params`` swap takes
+            effect), never be captured as trace-time constants."""
             use_stem = stem_fn is not None and h % 8 == 0 and w % 8 == 0
             if use_stem:
                 # the frontend normalizes after its fast space-to-depth;
@@ -471,13 +476,24 @@ class VideoSegmenter:
         def program(params, bn_state, frames_u8):
             frames_u8 = ingest(frames_u8)
             raw_frames = frames_u8  # pre-resize (decode-res) pixels
-            frames_u8, flat, h, w = resize_frames(frames_u8)
             n_frames = frames_u8.shape[0]
             # temporal reuse: forward only the keyframes (every Nth frame);
             # ids for the rest are filled from their keyframe below
-            frames_fwd = (frames_u8[::temporal_interval]
-                          if temporal_interval > 1 else frames_u8)
-            ids = ids_for(frames_fwd, flat, h, w)
+            if temporal_interval > 1 and not device_outputs:
+                # ids-only serving never consumes the non-key frames'
+                # pixels (the nearest/warp passes read raw_frames at
+                # decode resolution), so resize ONLY the keyframes —
+                # the same select-then-resize program_budget measures
+                # (310 -> 387 fps at 1024x2048); the old path resized
+                # N x the pixels it forwarded
+                frames_fwd, flat, h, w = resize_frames(
+                    frames_u8[::temporal_interval]
+                )
+            else:
+                frames_u8, flat, h, w = resize_frames(frames_u8)
+                frames_fwd = (frames_u8[::temporal_interval]
+                              if temporal_interval > 1 else frames_u8)
+            ids = ids_for(params, bn_state, frames_fwd, flat, h, w)
             if temporal_interval > 1:
                 if temporal_nearest:
                     # bidirectional reuse: frame i gathers ids from the
@@ -570,7 +586,8 @@ class VideoSegmenter:
                 run = jnp.logical_or(n == 0, diff > temporal_thresh)
                 ids = jax.lax.cond(
                     run,
-                    lambda f: ids_for(f[None], flat, h, w)[0],
+                    lambda f: ids_for(params, bn_state, f[None],
+                                      flat, h, w)[0],
                     lambda f: kids,
                     frame,
                 )
@@ -647,7 +664,7 @@ class VideoSegmenter:
                 .at[slot_of].set(jnp.arange(nb, dtype=jnp.int32))[:K]
             )
             sel_frames, flat, h, w = resize_frames(frames_u8[fwd_idx])
-            ids_k = ids_for(sel_frames, flat, h, w)
+            ids_k = ids_for(params, bn_state, sel_frames, flat, h, w)
             total = cs[-1]  # promotions made this batch
             if temporal_nearest:
                 # bidirectional reuse: each frame gathers ids from the
@@ -1068,9 +1085,18 @@ class VideoSegmenter:
         assert self.temporal_thresh is not None, "adaptive mode only"
         arr = np.stack([np.asarray(f) for f in frames])
         b = self.batch
-        pad = (-len(arr)) % b
-        if pad:
-            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        # Measure over FULL batches of REAL frames only: padding with
+        # repeats of the last frame biases the measurement (zero-diff pads
+        # take the near-free reuse path, inflating plain-adaptive fps and
+        # diluting every mode's promotion rate).  run() pads and trims for
+        # serving; a benchmark drops the remainder instead.
+        assert len(arr) >= b, (
+            f"need at least one full batch ({b}) of real frames, got "
+            f"{len(arr)}"
+        )
+        dropped = len(arr) % b
+        if dropped:
+            arr = arr[: len(arr) - dropped]
         if self.transport == "yuv420":
             if arr.ndim == 4:
                 from tpuseg.video.yuv import rgb_to_i420
@@ -1108,4 +1134,5 @@ class VideoSegmenter:
             "device_fps": n / best,
             "promotion_rate": n_promoted / n,
             "frames": n,
+            "frames_dropped": dropped,
         }
