@@ -219,14 +219,21 @@ def _fake_classifier_pth(tmp_path, seed=5):
 
     from tpuseg.models.torch_import import export_state_dict
 
+    import re
+
     params, state, _ = init_drnseg(seed, "drn_d_22", 19)
     bb = {k: v for k, v in params.items()
           if not k.startswith(("seg.", "up."))}
-    sd = {k: torch.from_numpy(np.asarray(v).copy())
+    # REAL published classifier checkpoints use torch attribute naming
+    # (``layer3.0.conv1.weight`` — no dot after "layer"); fabricate the
+    # same so the test exercises the cls->seg key remap the bootstrap
+    # performs (round-4 review: a seg-keyed fake masked its absence)
+    cls_key = lambda k: re.sub(r"^layer\.(\d+)\.", r"layer\1.", k)
+    sd = {cls_key(k): torch.from_numpy(np.asarray(v).copy())
           for k, v in export_state_dict(bb, state).items()}
     sd["fc.weight"] = torch.zeros(1000, 512, 1, 1)
     sd["fc.bias"] = torch.zeros(1000)
-    sd["layer.1.1.num_batches_tracked"] = torch.tensor(7)
+    sd["layer1.1.num_batches_tracked"] = torch.tensor(7)
     path = str(tmp_path / "drn_d_22-4bd2f8ea.pth")
     torch.save(sd, path)
     return path, params, state

@@ -71,3 +71,10 @@ def test_upsample_argmax_pallas_matches(monkeypatch):
     out = upsample_argmax_pallas(x, k)
     assert out.shape == (2, 48, 64)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # ASYMMETRIC kernel too (round-4 review: the Pallas path skipped the
+    # transposed-conv tap flip, which only coincides for symmetric kernels)
+    f1 = rng.random(16).astype(np.float32) + 0.1
+    k_asym = jnp.asarray(np.outer(f1, f1))
+    ref_a = upsample_argmax(x, k_asym)
+    out_a = upsample_argmax_pallas(x, k_asym)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(ref_a))

@@ -41,6 +41,30 @@ def test_quant_conv_matches_float(rng):
     assert rel < 0.05, rel  # ~2x 8-bit rounding through the conv
 
 
+def test_quant_plans_built_for_classifier_naming(rng):
+    """Round-4 review: cls-named specs have stage keys 'layer5' (no dot);
+    the old parse raised and silently produced ZERO plans, so rmbsnn's
+    'int8' evaluation actually ran fp."""
+    from tpuseg.models.drn import build_drn_spec, init_drn
+    from tpuseg.ops.fold_bn import fold_bn
+
+    spec = build_drn_spec("drn_d_22", num_classes=10, naming="cls")
+    params, state = init_drn(0, spec)
+    folded = fold_bn(params, state, spec)
+    plans = build_quant_plans(folded, spec)
+    assert len(plans) >= 6, sorted(plans)
+    assert all(not k.startswith("layer.") for k in plans)
+    # and the classifier forward yields real logits on small inputs (the
+    # fixed AvgPool(pool_size) window emitted ZERO windows below 224,
+    # silently returning (B, 0) logits)
+    from tpuseg.models.drn import drn_forward
+
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    out = drn_forward(folded, {}, x, spec, train=False,
+                      sparse_plans=plans)[0]
+    assert out.shape == (2, 10), out.shape
+
+
 def test_end_to_end_quantized_forward(rng):
     params, state, spec = init_drnseg(0, "drn_d_22", 19)
     folded = fold_bn(params, state, spec)

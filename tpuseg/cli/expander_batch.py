@@ -49,8 +49,9 @@ def prunable_layers(params: dict, arch: str) -> list[str]:
         if arr.ndim not in (2, 4):
             continue
         base = name[: -len(".weight")]
-        if any(base == e or base.startswith(e + ".") or base.startswith(e)
-               for e in excluded):
+        # exact name or child scope only — a bare prefix match would also
+        # silently drop e.g. "fc2" for an exclusion entry "fc"
+        if any(base == e or base.startswith(e + ".") for e in excluded):
             continue
         out.append(name)
     return out

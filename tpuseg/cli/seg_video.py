@@ -248,8 +248,14 @@ def main(argv=None):
                           "total_masked": len(report)}))
     calib = None
     if args.quantize and args.calibrate > 0:
+        # match the serving transform: in device-resize mode (the default),
+        # feed DECODE-resolution frames — VideoSegmenter resizes them with
+        # the same jax.image.resize the serving program applies, so static
+        # scales are calibrated on the pixels the model will actually see
+        # (host cv2 resize differs slightly; round-4 review)
         calib = [f for _, f in zip(range(args.calibrate),
-                                   open_frames(args, h, w, resized=True))]
+                                   open_frames(args, h, w,
+                                               resized=args.host_resize))]
     seg = VideoSegmenter(
         params,
         state,

@@ -114,7 +114,7 @@ class SyntheticSegDataset:
         return img, lbl
 
 
-def build_dataset(args, phase):
+def build_dataset(args, phase, out_name=False):
     if args.synthetic:
         size = args.crop_size or 64
         return SyntheticSegDataset(args.synthetic, size, args.classes, args.seed)
@@ -138,7 +138,8 @@ def build_dataset(args, phase):
         ])
     else:
         ts = [T.ToArray(), T.Normalize(info["mean"], info["std"])]
-    return SegList(args.data_dir, phase, T.Compose(ts), list_dir=args.list_dir)
+    return SegList(args.data_dir, phase, T.Compose(ts), list_dir=args.list_dir,
+                   out_name=out_name)
 
 
 def load_weights(args, classes):
@@ -501,7 +502,10 @@ def cmd_test(args):
             hist += fast_hist(pred.flatten(), np.asarray(label).flatten(),
                               args.classes)
     else:
-        val_ds = build_dataset(args, "val" if not args.synthetic else "train")
+        # --save-vis needs the image names in the batch (the reference's
+        # test-time SegList is built with out_name=True, semantic_seg.py:588)
+        val_ds = build_dataset(args, "val" if not args.synthetic else "train",
+                               out_name=args.save_vis)
         eval_fn = jax.jit(make_eval_step(spec, "seg", compute_dtype=compute_dtype))
         for batch in prefetch_to_device(batch_iterator(val_ds, args.batch_size)):
             images, labels = batch[0], batch[1]

@@ -146,6 +146,7 @@ class ImageFolderDataset:
         img = Image.open(path).convert("RGB")
         if self.train:
             # RandomResizedCrop(size): random area in [0.08, 1], ratio 3/4..4/3
+            cropped = False
             for _ in range(10):
                 area = img.size[0] * img.size[1]
                 target = area * self.rng.uniform(0.08, 1.0)
@@ -156,7 +157,22 @@ class ImageFolderDataset:
                     x0 = int(self.rng.integers(0, img.size[0] - w + 1))
                     y0 = int(self.rng.integers(0, img.size[1] - h + 1))
                     img = img.crop((x0, y0, x0 + w, y0 + h))
+                    cropped = True
                     break
+            if not cropped:
+                # torchvision fallback: centered max-area crop at the
+                # nearest in-range ratio (extreme-aspect images would
+                # otherwise be squashed anisotropically to a square)
+                w, h = img.size
+                in_ratio = w / h
+                if in_ratio < 3 / 4:
+                    cw, ch = w, int(round(w / (3 / 4)))
+                elif in_ratio > 4 / 3:
+                    cw, ch = int(round(h * (4 / 3))), h
+                else:
+                    cw, ch = w, h
+                x0, y0 = (w - cw) // 2, (h - ch) // 2
+                img = img.crop((x0, y0, x0 + cw, y0 + ch))
             img = img.resize((self.size, self.size), Image.BILINEAR)
             if self.rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)

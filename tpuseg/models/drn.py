@@ -662,8 +662,12 @@ def drn_forward(
 
     if spec.fc_name is not None and spec.linear_fc:
         # DRN_A head: stride-1 avgpool -> flatten -> Linear (drn.py:279-280,
-        # 325-328).  Weight is torch (out, in) layout.
-        p = spec.pool_size
+        # 325-328).  Weight is torch (out, in) layout.  The window is
+        # clamped to the feature grid: at the designed 224 input the grid
+        # IS pool_size x pool_size (global pooling, identical), while a
+        # smaller input would otherwise emit ZERO windows and silently
+        # return (B, 0) logits.
+        p = min(spec.pool_size, x.shape[1], x.shape[2])
         x = jax.lax.reduce_window(
             x.astype(jnp.float32), 0.0, jax.lax.add,
             (1, p, p, 1), (1, 1, 1, 1), "VALID",
@@ -681,7 +685,10 @@ def drn_forward(
             x = conv2d(x, w, compute_dtype=compute_dtype) + b
         else:
             # AvgPool(pool_size) then 1x1 conv then flatten (drn.py:249-254)
-            p = spec.pool_size
+            # — window clamped to the feature grid (identical at the
+            # designed 224 input where grid == pool_size; smaller inputs
+            # would otherwise produce (B, 0) logits)
+            p = min(spec.pool_size, x.shape[1], x.shape[2])
             x = jax.lax.reduce_window(
                 x.astype(jnp.float32),
                 0.0,

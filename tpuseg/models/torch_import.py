@@ -148,6 +148,16 @@ def fetch_backbone(src: str, cache_dir: str | None = None) -> str:
     return local
 
 
+def _cls_to_seg_key(key: str) -> str:
+    """Classifier-DRN keys (``layer3.0.conv1.weight``, torch attribute
+    naming) -> DRNSeg-Sequential keys (``layer.3.0.conv1.weight``).  The
+    published pretrained checkpoints are classifiers, so this remap is what
+    makes them loadable into a seg-named model."""
+    import re
+
+    return re.sub(r"^layer(\d+)\.", r"layer.\1.", key)
+
+
 def load_pretrained_backbone(
     arch: str,
     src: str,
@@ -170,11 +180,17 @@ def load_pretrained_backbone(
     path = fetch_backbone(resolve_backbone_source(src, arch), cache_dir)
     bb_params, bb_state, _ = load_pth(path, dtype)
     out_p, out_s = dict(params), dict(state)
+    # the published backbones are CLASSIFIER checkpoints (torch keys
+    # ``layer3.0.conv1.weight``); remap to seg naming when the destination
+    # model is seg-named (``layer.3...``) — seg-sourced keys pass through
+    seg_dest = any(k.startswith("layer.") for k in params)
     n = 0
     for source, dest in ((bb_params, out_p), (bb_state, out_s)):
         for key, val in source.items():
             if key.startswith(_BACKBONE_EXCLUDE):
                 continue
+            if seg_dest and key not in dest:
+                key = _cls_to_seg_key(key)
             if key not in dest:
                 raise KeyError(
                     f"pretrained backbone tensor {key!r} has no slot in "

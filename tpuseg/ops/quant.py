@@ -122,10 +122,15 @@ def build_quant_plans(
         )
 
     for key, sdef in spec.stages:
-        try:
-            idx = int(key.rsplit(".", 1)[-1])
-        except ValueError:
+        # stage index from either naming: seg "layer.5" or cls "layer5"
+        # (the old dot-split parse raised on cls keys and silently built
+        # ZERO plans for classifier specs — int8 eval then ran fp)
+        import re
+
+        m = re.search(r"(\d+)$", key)
+        if not m:
             continue
+        idx = int(m.group(1))
         if idx not in stages:
             continue
         for cdef, _bn in sdef.convs:

@@ -111,9 +111,12 @@ def upsample_argmax_pallas(seg: jax.Array, up_kernel: jax.Array) -> jax.Array:
     # ids are tracked as int8 in VMEM to fit the budget
     assert c <= 127, f"upsample_argmax_pallas supports <= 127 classes, got {c}"
     k1 = _kernel_1d(up_kernel)
-    k0 = (11 - jnp.arange(STRIDE)) % STRIDE
-    a = k1[k0].astype(jnp.float32)
-    b = k1[k0 + STRIDE].astype(jnp.float32)
+    # same flipped tap map as the XLA path — the unflipped k1[k0]/k1[k0+8]
+    # only coincides for symmetric kernels (bilinear); _phase_weights is
+    # exact for asymmetric ones too
+    a, b = _phase_weights(k1)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
 
     def kernel(a_ref, b_ref, seg_ref, out_ref, vmax, vids):
         # seg_ref block: (1, c, h+2, w+2) zero-padded, channels-leading so

@@ -271,6 +271,20 @@ class VideoSegmenter:
             scales = None
             if calib_frames is not None and len(calib_frames) and exec_plans:
                 arr = np.stack([np.asarray(f) for f in calib_frames])
+                if (arr.ndim == 4 and target_size is not None
+                        and arr.shape[1:3] != tuple(target_size)):
+                    # device-resize serving: calibrate on the SAME resize
+                    # the program applies (jax.image.resize bilinear, no
+                    # antialias, round+clip) — not a host cv2 resize whose
+                    # slightly different pixels would mis-set static scales
+                    th, tw = target_size
+                    r = jax.image.resize(
+                        jnp.asarray(arr, jnp.float32),
+                        (arr.shape[0], th, tw, 3),
+                        method="bilinear", antialias=False,
+                    )
+                    arr = np.asarray(
+                        jnp.clip(jnp.round(r), 0, 255).astype(jnp.uint8))
                 # the polyphase stem needs dims divisible by 8 (same gate
                 # the serving program applies); otherwise calibrate on the
                 # normalized non-stem path
