@@ -423,6 +423,12 @@ def bench_layout():
     )
 
     def timeit(one_fn, reps=3):
+        # one_fn must preserve the carry's type (shape+dtype).  A naked
+        # one-way transpose can't be scanned (carry type changes when
+        # H != W), and a back-to-back transpose/inverse pair is cancelled
+        # outright by XLA's algebraic simplifier — so shape-changing cases
+        # go through timeit_roundtrip below, with optimization_barrier
+        # keeping the pair honest.
         @jax.jit
         def loop(x):
             def body(xc, _):
@@ -437,24 +443,38 @@ def bench_layout():
             best = min(best, (time.perf_counter() - t0) / INNER)
         return best
 
-    cases = {
-        # NHWC -> NCHW (channel-major resident: channel gathers hit the
-        # untiled dim; taps stay on the tiled pair)
-        "nhwc_to_nchw_ms": lambda xx: jnp.transpose(xx, (0, 3, 1, 2)),
-        # NHWC -> NWHC (W-major: dx shifts hit the untiled dim; dy stays
-        # sublane — the BACKLOG item's literal layout)
-        "nhwc_to_nwhc_ms": lambda xx: jnp.transpose(xx, (0, 2, 1, 3)),
-        # round trip (what a single non-resident layer would pay)
-        "nhwc_nwhc_roundtrip_ms": lambda xx: jnp.transpose(
-            jnp.transpose(xx, (0, 2, 1, 3)), (0, 2, 1, 3)
-        ),
-        # control: one full-tensor copy at the same size
-        "copy_ms": lambda xx: xx + jnp.uint8(0).astype(xx.dtype),
+    def roundtrip(perm):
+        # transpose -> barrier -> inverse transpose -> barrier: the carry
+        # type is stable and the barriers stop XLA cancelling the pair, so
+        # each scan step pays two real relayout copies.  Reported one-way
+        # cost = roundtrip / 2.
+        inv = tuple(int(i) for i in np.argsort(perm))
+
+        def fn(xc):
+            y = jax.lax.optimization_barrier(jnp.transpose(xc, perm))
+            return jax.lax.optimization_barrier(jnp.transpose(y, inv))
+
+        return fn
+
+    # NHWC -> NCHW (channel-major resident: channel gathers hit the
+    # untiled dim; taps stay on the tiled pair); NHWC -> NWHC (W-major:
+    # dx shifts hit the untiled dim; dy stays sublane — the BACKLOG
+    # item's literal layout).  The roundtrip is what a single
+    # non-resident sparse layer would pay at its boundaries.
+    perms = {
+        "nhwc_nchw": (0, 3, 1, 2),
+        "nhwc_nwhc": (0, 2, 1, 3),
     }
-    for name, fn in cases.items():
-        t = timeit(fn)
-        print(json.dumps({"metric": f"layout/{name}",
-                          "value": round(t * 1e3, 3)}))
+    for name, perm in perms.items():
+        t = timeit(roundtrip(perm))
+        print(json.dumps({"metric": f"layout/{name}_roundtrip_ms",
+                          "value": round(t * 1e3, 3),
+                          "one_way_ms": round(t * 1e3 / 2, 3)}))
+    # control: one full-tensor copy at the same size (barrier keeps the
+    # scan body from collapsing to a no-op)
+    t = timeit(lambda xx: jax.lax.optimization_barrier(
+        xx + jnp.uint8(0).astype(xx.dtype)))
+    print(json.dumps({"metric": "layout/copy_ms", "value": round(t * 1e3, 3)}))
 
 
 def bench_model():
@@ -528,6 +548,12 @@ def bench_model():
                 continue
             w = hwio_to_oihw(arr)
             if w.shape[0] % 128 or w.shape[1] % 128:
+                continue
+            if (w.shape[0] // 128) * (w.shape[1] // 128) < 2:
+                # single-block layers: BlockPruner's strict threshold
+                # zeroes them ENTIRELY at any sparsity > 0 — excluding
+                # them keeps the benchmark's masks servable (matches the
+                # vendored block128 serving configs, gen_configs)
                 continue
             m = prune_as_block(
                 w, BlockConfig(sparsity, 128, 128, -1, -1, collapse_tensor=False)

@@ -400,18 +400,32 @@ def test_all_vendored_configs_apply():
     from tpuseg.sparsity.base import mask_sparsity_stats
 
     seen = 0
-    for arch, n_layers in (("drn_d_22", 24), ("drn_d_54", 56)):
+    for arch, n_layers, n_serving in (
+        ("drn_d_22", 24, 12), ("drn_d_54", 56, 40)
+    ):
         params, _state, _spec = init_drnseg(0, arch, 19)
         for f in sorted(glob.glob(
                 os.path.join(VENDORED_CONFIGS, arch, "*.json"))):
             seen += 1
             masks = create_masker(f, seed=0).generate_masks(params)
-            assert len(masks) == n_layers, f
             want = float(f.rsplit("_", 1)[1][:-5])
             stats = mask_sparsity_stats(masks)
-            for layer, sp in stats.items():
-                assert abs(sp - want) < 1e-6, (f, layer, sp)
-    assert seen == 12
+            if "block128" in f:
+                # serving set: 128x128 channel-block masks on the
+                # /128-divisible convs; per-layer sparsity is the exact
+                # block quantization floor(s*nb)/nb of the target
+                assert len(masks) == n_serving, f
+                for layer, sp in stats.items():
+                    o, i = (np.transpose(np.asarray(masks[layer]),
+                                         (3, 2, 0, 1)).shape[:2])
+                    nb = (o // 128) * (i // 128)
+                    exact = 100 * int(want / 100 * nb) / nb
+                    assert abs(sp - exact) < 1e-6, (f, layer, sp, exact)
+            else:
+                assert len(masks) == n_layers, f
+                for layer, sp in stats.items():
+                    assert abs(sp - want) < 1e-6, (f, layer, sp)
+    assert seen == 16
 
 
 @pytest.mark.slow

@@ -50,8 +50,15 @@ def parse_args(argv=None):
                    help="serve a PRUNED model: generate masks from this "
                         "reference-schema JSON pruner config (e.g. "
                         "optimal_configs/drn_d_22/*.json), apply them, and "
-                        "execute eligible layers via the block-sparse "
-                        "Pallas kernels (int8 kernels with --quantize)")
+                        "execute eligible layers via the sparse lowering "
+                        "(int8 sparse kernels with --quantize)")
+    p.add_argument("--sparse-lowering", default="gathered",
+                   choices=("gathered", "pallas"),
+                   help="sparse execution family for --pr-config-path: "
+                        "'gathered' (channel-gather + small dense XLA "
+                        "convs — 1.60x model bf16 / 1.66x int8 at 87.5%%, "
+                        "round-4 hardware record) or 'pallas' (fused "
+                        "block-sparse kernels, 1.25x/1.38x)")
     p.add_argument("--calibrate", type=int, default=0, metavar="N",
                    help="with --quantize: calibrate static activation "
                         "scales on the first N frames (removes the "
@@ -242,10 +249,13 @@ def main(argv=None):
         # With --quantize, VideoSegmenter lifts these to the int8 sparse
         # kernels itself (after calibration, so static scales reach them).
         folded = fold_bn(params, state, spec)
-        exec_plans, report = build_sparse_plans(folded, masks, spec)
+        exec_plans, report = build_sparse_plans(
+            folded, masks, spec, lowering=args.sparse_lowering
+        )
         n_sparse = sum(1 for v in report.values() if not v.startswith("dense"))
         print(json.dumps({"event": "sparse_plans", "lowered": n_sparse,
-                          "total_masked": len(report)}))
+                          "total_masked": len(report),
+                          "lowering": args.sparse_lowering}))
     calib = None
     if args.quantize and args.calibrate > 0:
         # match the serving transform: in device-resize mode (the default),

@@ -106,8 +106,12 @@ def build_sparse_plans(
     ``"pallas"`` (fused block-sparse kernel, with channel compaction when
     the mask admits it) or ``"gathered"`` (channel-gather + small dense XLA
     convs, tpuseg.ops.gathered_conv — sidesteps the Pallas xmat copy
-    floor; bench_sparse --gathered compares them on hardware).  Structured
-    RBGP lowerings apply first in either case.
+    floor).  Round-4 hardware record (PERF_NOTES): gathered measured at or
+    above pallas at every density — model-level 1.60x bf16 / 1.66x int8 at
+    87.5% vs 1.25x/1.38x — so the serving CLI defaults to gathered; the
+    library default stays "pallas" for API stability and because both
+    families are production paths.  Structured RBGP lowerings apply first
+    in either case.
     """
     assert lowering in ("pallas", "gathered"), lowering
     convs = {}

@@ -42,6 +42,8 @@ import argparse
 import json
 import os
 
+import numpy as np
+
 # (arch, "HxW" resolution tag, inner sparsity) — the reference's shipped
 # matrix, /root/reference/optimal_configs/*/
 MATRIX: list[tuple[str, str, float]] = [
@@ -101,6 +103,80 @@ def emit_optimal_configs(out_root: str, matrix=None, verbose: bool = True
     return written
 
 
+# Serving-grade block configs (tpuseg-native, no reference counterpart):
+# 128x128 channel-block masks (pruner_type "block", BlockPruner semantics)
+# on every /128-divisible conv — the geometry the sparse serving lowerings
+# (gathered / fused Pallas, tpuseg.models.sparse_exec) execute at full
+# MXU-block granularity.  The fine-grained srmbrep set above is the
+# reference's accuracy-research geometry (2x2 blocklets — below MXU tile
+# granularity, served masked-dense by measured physics); THIS set is what
+# `seg_video --pr-config-path ... --sparse-lowering gathered` serves at
+# 1.59x bf16 / 1.66x int8 model-level (round-4 hardware record).
+SERVING_MATRIX: list[tuple[str, float]] = [
+    ("drn_d_22", 0.50),
+    ("drn_d_22", 0.75),
+    ("drn_d_22", 0.875),
+    ("drn_d_54", 0.875),
+]
+
+
+def emit_serving_configs(out_root: str, matrix=None, verbose: bool = True
+                         ) -> list[str]:
+    """Write MXU-block serving configs under ``out_root/<arch>/``."""
+    import jax
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.sparsity.base import hwio_to_oihw
+
+    matrix = SERVING_MATRIX if matrix is None else matrix
+    written = []
+    params_by_arch: dict[str, dict] = {}
+    for arch, sp in matrix:
+        if arch not in params_by_arch:
+            params_by_arch[arch], _, _ = init_drnseg(
+                jax.random.key(0), arch, 19)
+        layers = []
+        for name, v in params_by_arch[arch].items():
+            arr = np.asarray(v) if not hasattr(v, "shape") else v
+            if getattr(arr, "ndim", 0) != 4 or name == "up.weight":
+                continue
+            w = hwio_to_oihw(np.asarray(arr))
+            if w.shape[0] % 128 or w.shape[1] % 128:
+                continue
+            # single-block layers are degenerate under BlockPruner's
+            # strict-threshold semantics (thresh = the block's own sum,
+            # keep strictly above -> the WHOLE layer is zeroed at any
+            # sparsity > 0; reference parity, BlockPruner.py:190-207) —
+            # exclude them so the serving configs never kill a layer
+            if (w.shape[0] // 128) * (w.shape[1] // 128) < 2:
+                continue
+            layers.append(name)
+        cfg = {
+            "pruner_type": "block",
+            "configs": [
+                {
+                    "layer_set": layers,
+                    "sparsity": sp,
+                    "block_height": 128,
+                    "block_width": 128,
+                    "sub_rows": -1,
+                    "sub_cols": -1,
+                    "collapse_tensor": False,
+                }
+            ],
+        }
+        d = os.path.join(out_root, arch)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{arch}_block128_{100 * sp:.2f}.json")
+        with open(path, "w") as fh:
+            json.dump(cfg, fh, indent=4)
+            fh.write("\n")
+        if verbose:
+            print(f"wrote {path} ({len(layers)} layers, sparsity={sp})")
+        written.append(path)
+    return written
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="regenerate the vendored optimal_configs/ set")
@@ -116,6 +192,7 @@ def main(argv=None):
     except RuntimeError:
         pass
     emit_optimal_configs(args.out)
+    emit_serving_configs(args.out)
 
 
 if __name__ == "__main__":
