@@ -81,3 +81,23 @@ def test_pipeline_ids_pack_composes_with_budget_and_yuv():
 def test_pipeline_ids_pack_rejects_too_many_classes():
     with pytest.raises(AssertionError):
         _segmenter(ids_bits=4)  # 19 classes need 5 bits
+
+
+def test_cli_ids_pack_auto_policy():
+    """--ids-pack default is AUTO: packs for ids-only serving at <=32
+    classes with 8-divisible width; explicit 0 disables, explicit BITS
+    wins; --device-outputs and odd widths opt out."""
+    from tpuseg.cli.seg_video import _resolve_ids_pack, parse_args
+
+    def resolve(extra, w=2048):
+        args = parse_args(["--video", "shapes", *extra])
+        return _resolve_ids_pack(args, w)
+
+    assert resolve([]) == 5                        # 19 classes -> 5 bits
+    assert resolve(["--classes", "16"]) == 4
+    assert resolve(["--classes", "2"]) == 1
+    assert resolve(["--classes", "33"]) is None    # >32: stays unpacked
+    assert resolve(["--ids-pack", "0"]) is None    # explicit off
+    assert resolve(["--ids-pack", "4"]) == 4       # explicit wins
+    assert resolve(["--device-outputs"]) is None   # no ids-only fetch
+    assert resolve([], w=100) is None              # width not /8

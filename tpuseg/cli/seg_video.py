@@ -87,7 +87,12 @@ def parse_args(argv=None):
                         "bottleneck on remote-attached chips; 19 classes "
                         "fit in 5 bits (1.6x fewer link bytes), <=16 in 4 "
                         "(2x).  Needs --size width divisible by 8; "
-                        "ids-only fetch mode (not --device-outputs)")
+                        "ids-only fetch mode (not --device-outputs).  "
+                        "Default: AUTO — packs whenever eligible and "
+                        "classes <= 32 (measured +30%% e2e over yuv420 "
+                        "alone on the tunneled link, bit-exact; round-4 "
+                        "hardware record); pass 0 to disable, 8 for "
+                        "unpacked bytes")
     p.add_argument("--device-outputs", action="store_true",
                    help="colorize/overlay on device and fetch RGB frames "
                         "(best on PCIe-attached chips; default fetches "
@@ -197,6 +202,25 @@ def load_model(args):
 _SHAPES_CACHE: dict = {}
 
 
+def _resolve_ids_pack(args, w: int) -> int | None:
+    """``--ids-pack`` policy: explicit BITS wins (0 disables), else AUTO —
+    pack whenever the ids-only fetch is in play (not --device-outputs),
+    the width is 8-divisible, and the class count fits 5 bits or fewer.
+    Bit-exact either way (tpuseg.ops.idpack round-trips identically);
+    measured +30% e2e over yuv420 alone on the tunneled link (round-4
+    hardware record, e2e_idpack)."""
+    if args.ids_pack is not None:
+        return args.ids_pack if args.ids_pack > 0 else None
+    if args.device_outputs or w % 8:
+        return None
+    bits = max(1, (args.classes - 1).bit_length())
+    if bits > 5:
+        return None
+    print(json.dumps({"event": "ids_pack_auto", "bits": bits,
+                      "classes": args.classes}))
+    return bits
+
+
 def _is_shapes(video: str) -> bool:
     return video == "shapes" or video.startswith("shapes:")
 
@@ -287,7 +311,7 @@ def main(argv=None):
         temporal_nearest=args.temporal_nearest,
         mesh=_build_mesh(args.mesh_devices),
         transport=args.transport,
-        ids_bits=args.ids_pack,
+        ids_bits=_resolve_ids_pack(args, w),
     )
     # with the yuv420 transport, real videos decode straight to packed
     # I420 planes (the native decoder emits them with no RGB detour) —
