@@ -540,7 +540,11 @@ def bench_model():
     t_dense = run_model(jax.device_put(folded), None)
     print(json.dumps({"metric": "model_dense_fps", "value": round(1 / t_dense, 2)}))
 
-    for sparsity in [0.875]:
+    # 87.5% runs the full variant set; 50/75% run gathered-bf16 only (the
+    # accuracy-preferred densities — the question there is how the best
+    # lowering's model-level win scales, per-kernel numbers: 1.25x/1.83x)
+    sweep = ([0.875, 0.75, 0.5] if "--sweep" in sys.argv else [0.875])
+    for sparsity in sweep:
         masks = {}
         for name, v in folded.items():
             arr = np.asarray(v)
@@ -560,15 +564,17 @@ def bench_model():
             )
             masks[name] = oihw_to_hwio(m).astype(np.float32)
         masked = apply_masks(folded, masks)
-        plans, report = build_sparse_plans(masked, masks, spec)
-        n_sparse = len(plans)  # fused + compact+sparse + rbgp lowerings
-        t_sparse = run_model(jax.device_put(dict(masked)), plans)
-        print(json.dumps({
-            "metric": f"model_sparse_{int(sparsity*1000)/10}pct_fps",
-            "value": round(1 / t_sparse, 2),
-            "sparse_layers": n_sparse,
-            "speedup_vs_dense": round(t_dense / t_sparse, 3),
-        }))
+        full_set = sparsity == 0.875
+        if full_set:
+            plans, report = build_sparse_plans(masked, masks, spec)
+            n_sparse = len(plans)  # fused + compact+sparse + rbgp lowerings
+            t_sparse = run_model(jax.device_put(dict(masked)), plans)
+            print(json.dumps({
+                "metric": f"model_sparse_{int(sparsity*1000)/10}pct_fps",
+                "value": round(1 / t_sparse, 2),
+                "sparse_layers": n_sparse,
+                "speedup_vs_dense": round(t_dense / t_sparse, 3),
+            }))
 
         # same masks through the gather+dense-XLA lowering
         gplans, _ = build_sparse_plans(masked, masks, spec,
@@ -581,6 +587,8 @@ def bench_model():
             "speedup_vs_dense": round(t_dense / t_gath, 3),
         }))
 
+        if not full_set:
+            continue
         # the full compression stack: prune (sparse kernels) + int8 PTQ on
         # the same layers (quantized fused kernels) + int8 on the
         # remaining eligible dense convs (tpuseg.ops.quant)
@@ -605,6 +613,123 @@ def bench_model():
             "value": round(1 / t_gq, 2),
             "speedup_vs_dense": round(t_dense / t_gq, 3),
         }))
+
+
+def bench_frontend():
+    """int8 the polyphase frontend?  conv0 (3x3 48->256) + conv1 (3x3
+    256->256) are MXU-bound at 0.46 + 0.86 ms of the 9.4 ms dense frame
+    (PERF_NOTES frame breakdown); after sparse+int8 serving shrinks the
+    backbone, the bf16 frontend is ~25%% of the frame.  Times the fused
+    frontend alone (chained scan, 1024x2048): bf16 vs int8 stem convs vs
+    int8 stem + stage-3 convs.  Timing-only harness — activation scales
+    are fixed constants; the accuracy-side wiring only happens if this
+    wins."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import FusedStage3Frontend, fold_input
+    from tpuseg.ops.quant import quantize_weight
+
+    H, W = 1024, 2048
+    INNER = 32
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    stem = FusedStage3Frontend(
+        folded, normalize=([0.290, 0.328, 0.287], [0.183, 0.187, 0.184])
+    )
+
+    def q(w):
+        wq, ws = quantize_weight(np.asarray(w, np.float32))
+        return jnp.asarray(wq), jnp.asarray(ws)
+
+    q_stem = [(q(w)[0], q(w)[1], b, lo, hi) for (w, b, lo, hi) in stem.convs]
+    q_b0c1 = (*q(stem.b0_conv1[0]), stem.b0_conv1[1],
+              stem.b0_conv1[2], stem.b0_conv1[3])
+    q_b0ds = (*q(stem.b0_ds[0]), stem.b0_ds[1], stem.b0_ds[2], stem.b0_ds[3])
+    q_img = {name: q(w) + (b,) for name, (w, b) in stem.image_convs.items()}
+    XS = jnp.float32(0.05)  # fixed activation scale: timing-only
+
+    def iconv(x, wq, ws, lo, hi):
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / XS),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x=xq, rhs=wq, window_strides=(1, 1),
+            padding=[(lo, hi), (lo, hi)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (XS * ws)).astype(stem.dtype)
+
+    def fwd(x, int8_stem, int8_stage3):
+        x = fold_input(x, stem.f)
+        mean48, inv_std48 = stem.normalize
+        x = ((x.astype(jnp.float32) / 255.0 - mean48) * inv_std48)
+        x = x.astype(stem.dtype)
+        for (wp, bias, lo, hi), (wq, ws, _b, _lo, _hi) in zip(
+                stem.convs, q_stem):
+            if int8_stem:
+                x = jax.nn.relu(iconv(x, wq, ws, lo, hi) + bias)
+            else:
+                x = jax.nn.relu(jax.lax.conv_general_dilated(
+                    x, wp, (1, 1), [(lo, hi), (lo, hi)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias)
+        if int8_stage3:
+            wq, ws, b1, lo1, hi1 = q_b0c1
+            y1 = jax.nn.relu(iconv(x, wq, ws, lo1, hi1) + b1)
+            wq, ws, bd, lod, hid = q_b0ds
+            yd = iconv(x, wq, ws, lod, hid) + bd
+            def ic(xx, name):
+                wq, ws, b = q_img[name]
+                return iconv(xx, wq, ws, 1, 1) + b
+            out = jax.nn.relu(ic(y1, f"{stem.stage3}.0.conv2") + yd)
+            r = out
+            out = jax.nn.relu(ic(out, f"{stem.stage3}.1.conv1"))
+            return jax.nn.relu(ic(out, f"{stem.stage3}.1.conv2") + r)
+        w1, b1, lo1, hi1 = stem.b0_conv1
+        y1 = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, w1, (1, 1), [(lo1, hi1), (lo1, hi1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1)
+        wd, bd, lod, hid = stem.b0_ds
+        yd = jax.lax.conv_general_dilated(
+            x, wd, (1, 1), [(lod, hid), (lod, hid)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bd
+        out = jax.nn.relu(stem._conv(y1, f"{stem.stage3}.0.conv2") + yd)
+        r = out
+        out = jax.nn.relu(stem._conv(out, f"{stem.stage3}.1.conv1"))
+        return jax.nn.relu(stem._conv(out, f"{stem.stage3}.1.conv2") + r)
+
+    def timeit(int8_stem, int8_stage3):
+        @jax.jit
+        def loop(frames):
+            def body(fc, _):
+                y = fwd(fc, int8_stem, int8_stage3)
+                probe = y[0, 0, 0, 0].astype(fc.dtype)
+                fc = jax.lax.dynamic_update_slice(
+                    fc, probe.reshape((1,) * fc.ndim), (0,) * fc.ndim)
+                return fc, probe
+            _, probes = jax.lax.scan(body, frames, None, length=INNER)
+            return probes.astype(jnp.float32).sum()
+        x = jnp.asarray(np.random.default_rng(0).integers(
+            0, 255, size=(1, H, W * 3), dtype=np.uint8))
+        float(np.asarray(loop(x)))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(x)))
+            best = min(best, (time.perf_counter() - t0) / INNER)
+        return best
+
+    t_bf16 = timeit(False, False)
+    print(json.dumps({"metric": "frontend/bf16_ms",
+                      "value": round(t_bf16 * 1e3, 3)}))
+    for name, a, b in (("int8_stem", True, False),
+                       ("int8_stem_stage3", True, True)):
+        t = timeit(a, b)
+        print(json.dumps({"metric": f"frontend/{name}_ms",
+                          "value": round(t * 1e3, 3),
+                          "speedup_vs_bf16": round(t_bf16 / t, 3)}))
 
 
 def bench_train():
@@ -682,13 +807,16 @@ if __name__ == "__main__":
 
     if ("--fused-only" not in sys.argv and "--model" not in sys.argv
             and "--train" not in sys.argv and "--gathered" not in sys.argv
-            and "--rmcdb" not in sys.argv and "--layout" not in sys.argv):
+            and "--rmcdb" not in sys.argv and "--layout" not in sys.argv
+            and "--frontend" not in sys.argv):
         main()
     if ("--fused" in sys.argv or "--fused-only" in sys.argv
             or "--fused-appendix" in sys.argv):
         bench_fused()
     if "--gathered" in sys.argv:
         bench_gathered()
+    if "--frontend" in sys.argv:
+        bench_frontend()
     if "--rmcdb" in sys.argv:
         bench_rmcdb()
     if "--layout" in sys.argv:
