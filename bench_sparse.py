@@ -333,7 +333,7 @@ def bench_gathered():
         )
         mask = np.transpose(mask_oihw, (2, 3, 1, 0))
         row = {"metric": f"gathered_{int(sparsity*1000)/10}pct"}
-        for mode in ("split", "grouped"):
+        for mode in ("split", "exact", "grouped"):
             plan = plan_gathered_conv(w, mask, dilation=DIL, mode=mode)
             t = timeit(lambda xx, p=plan: p.apply(xx))
             row[f"{mode}_ms"] = round(t * 1e3, 3)
@@ -576,15 +576,27 @@ def bench_model():
                 "speedup_vs_dense": round(t_dense / t_sparse, 3),
             }))
 
-        # same masks through the gather+dense-XLA lowering
+        # same masks through the gather+dense-XLA lowering, both execution
+        # forms (uniform repeat-padded split vs per-block exact supports)
         gplans, _ = build_sparse_plans(masked, masks, spec,
-                                       lowering="gathered")
+                                       lowering="gathered",
+                                       gathered_mode="split")
         t_gath = run_model(jax.device_put(dict(masked)), gplans)
         print(json.dumps({
             "metric": f"model_gathered_{int(sparsity*1000)/10}pct_fps",
             "value": round(1 / t_gath, 2),
             "sparse_layers": len(gplans),
             "speedup_vs_dense": round(t_dense / t_gath, 3),
+        }))
+        explans, _ = build_sparse_plans(masked, masks, spec,
+                                        lowering="gathered",
+                                        gathered_mode="exact")
+        t_ex = run_model(jax.device_put(dict(masked)), explans)
+        print(json.dumps({
+            "metric": f"model_gathered_exact_{int(sparsity*1000)/10}pct_fps",
+            "value": round(1 / t_ex, 2),
+            "sparse_layers": len(explans),
+            "speedup_vs_dense": round(t_dense / t_ex, 3),
         }))
 
         if not full_set:
@@ -612,6 +624,14 @@ def bench_model():
             "metric": f"model_gathered_int8_{int(sparsity*1000)/10}pct_fps",
             "value": round(1 / t_gq, 2),
             "speedup_vs_dense": round(t_dense / t_gq, 3),
+        }))
+        composed_ex = {**qdense, **quantize_sparse_plans(explans)}
+        t_exq = run_model(jax.device_put(dict(masked)), composed_ex)
+        print(json.dumps({
+            "metric":
+                f"model_gathered_exact_int8_{int(sparsity*1000)/10}pct_fps",
+            "value": round(1 / t_exq, 2),
+            "speedup_vs_dense": round(t_dense / t_exq, 3),
         }))
 
 
@@ -655,7 +675,7 @@ def bench_frontend():
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / XS),
                       -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
-            x=xq, rhs=wq, window_strides=(1, 1),
+            xq, wq, window_strides=(1, 1),
             padding=[(lo, hi), (lo, hi)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,

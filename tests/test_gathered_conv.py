@@ -28,7 +28,7 @@ def _masked_case(rng, k, cin, cout, sparsity, dilation):
     return w, mask, x, y_ref
 
 
-@pytest.mark.parametrize("mode", ["split", "grouped"])
+@pytest.mark.parametrize("mode", ["split", "grouped", "exact"])
 @pytest.mark.parametrize("sparsity,dilation", [(0.5, 1), (0.875, 2)])
 def test_gathered_conv_exact(mode, sparsity, dilation):
     rng = np.random.default_rng(0)
@@ -67,6 +67,48 @@ def test_gathered_conv_ragged_support_padding():
     assert plan.s == 2
     y = np.asarray(gathered_conv_apply(jnp.asarray(x), plan))
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gathered_exact_mode_dead_out_blocks():
+    """exact mode: per-block S_j with no repeat padding; out-blocks whose
+    entire support is masked produce exact zeros with no conv at all."""
+    rng = np.random.default_rng(4)
+    k, cin, cout = 3, 256, 384
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.1
+    mask = np.zeros_like(w)
+    mask[:, :, :128, :128] = 1.0       # block j=0: support {0} (S_0=1)
+    mask[:, :, :, 128:256] = 1.0       # block j=1: support {0,1} (S_1=2)
+    # block j=2: empty support (S_2=0) -> zeros, no conv
+    from tpuseg.models.drn import conv2d
+
+    x = rng.normal(size=(1, 8, 8, cin)).astype(np.float32)
+    y_ref = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w * mask), 1, 1, 1))
+    plan = plan_gathered_conv(w, mask, dtype=jnp.float32, mode="exact")
+    assert [len(ix) for ix in plan.idx] == [1, 2, 0]
+    assert plan.w[2] is None
+    y = np.asarray(gathered_conv_apply(jnp.asarray(x), plan))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+    assert np.all(y[..., 256:] == 0.0)
+
+
+def test_gathered_exact_int8_close_to_float():
+    """quantize_gathered_plan on an exact-mode plan: per-block int8 weights
+    (None for dead blocks), output within PTQ noise of masked dense."""
+    from tpuseg.models.sparse_exec import quantize_sparse_plans
+    from tpuseg.ops.gathered_conv import GatheredGroupConvQ
+
+    rng = np.random.default_rng(5)
+    w, mask, x, y_ref = _masked_case(rng, 3, 256, 256, 0.75, 2)
+    plan = plan_gathered_conv(w, mask, dilation=2, dtype=jnp.float32,
+                              mode="exact")
+    qplans = quantize_sparse_plans({"c": plan})
+    qp = qplans["c"]
+    assert isinstance(qp, GatheredGroupConvQ)
+    assert isinstance(qp.idx, list)
+    yq = np.asarray(qp.apply(jnp.asarray(x)))
+    assert yq.shape == y_ref.shape
+    denom = np.abs(y_ref).max()
+    assert np.abs(yq - y_ref).max() / denom < 0.05
 
 
 @pytest.mark.slow

@@ -180,6 +180,44 @@ def test_fused_stage3_frontend_matches_direct():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_int8_stem_close_to_bf16():
+    """int8_stem frontend stays within PTQ noise of the bf16 frontend;
+    calibrate_stem_scales installs static scales (conv0's stays analytic)
+    and the calibrated outputs stay in tolerance too."""
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import (
+        FusedStage3Frontend,
+        calibrate_stem_scales,
+    )
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    mean = [0.290, 0.328, 0.287]
+    std = [0.183, 0.187, 0.184]
+    stem = FusedStage3Frontend(folded, normalize=(mean, std),
+                               dtype=jnp.float32)
+    stem_q = FusedStage3Frontend(folded, normalize=(mean, std),
+                                 dtype=jnp.float32, int8_stem=True)
+    assert stem_q.conv0_x_scale is not None  # analytic from normalize
+
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 255, size=(2, 32, 64, 3), dtype=np.uint8)
+    y = np.asarray(stem(jnp.asarray(u8)))
+    yq = np.asarray(stem_q(jnp.asarray(u8)))
+    assert yq.shape == y.shape
+    denom = np.abs(y).max()
+    assert np.abs(yq - y).max() / denom < 0.08
+
+    scales = calibrate_stem_scales(stem_q, [u8])
+    assert len(scales) == 3 and scales[0] == stem_q.conv0_x_scale
+    assert stem_q.stem_x_scales == scales
+    ys = np.asarray(stem_q(jnp.asarray(u8)))
+    assert np.abs(ys - y).max() / denom < 0.08
+
+
 def test_space_to_depth_flat_bit_exact():
     """Flat-row input (n, h, w*c) produces bit-identical s2d output."""
     import jax.numpy as jnp

@@ -59,6 +59,19 @@ def parse_args(argv=None):
                         "convs — 1.60x model bf16 / 1.66x int8 at 87.5%%, "
                         "round-4 hardware record) or 'pallas' (fused "
                         "block-sparse kernels, 1.25x/1.38x)")
+    p.add_argument("--gathered-mode", default="exact",
+                   choices=("exact", "split"),
+                   help="gathered-lowering execution form: 'exact' "
+                        "(per-out-block exact supports; dead out-blocks "
+                        "emit zeros with no conv) or 'split' (uniform "
+                        "repeat-padded supports)")
+    p.add_argument("--quantize-stem", action="store_true",
+                   help="with --quantize: run the three polyphase stem "
+                        "convs in int8 too (frontend measured 1.12x — "
+                        "bench_sparse --frontend).  conv0's activation "
+                        "scale is analytic (exact normalize bounds); the "
+                        "others calibrate with --calibrate or fall back "
+                        "to dynamic per-frame scales")
     p.add_argument("--calibrate", type=int, default=0, metavar="N",
                    help="with --quantize: calibrate static activation "
                         "scales on the first N frames (removes the "
@@ -274,12 +287,14 @@ def main(argv=None):
         # kernels itself (after calibration, so static scales reach them).
         folded = fold_bn(params, state, spec)
         exec_plans, report = build_sparse_plans(
-            folded, masks, spec, lowering=args.sparse_lowering
+            folded, masks, spec, lowering=args.sparse_lowering,
+            gathered_mode=args.gathered_mode,
         )
         n_sparse = sum(1 for v in report.values() if not v.startswith("dense"))
         print(json.dumps({"event": "sparse_plans", "lowered": n_sparse,
                           "total_masked": len(report),
-                          "lowering": args.sparse_lowering}))
+                          "lowering": args.sparse_lowering,
+                          "gathered_mode": args.gathered_mode}))
     calib = None
     if args.quantize and args.calibrate > 0:
         # match the serving transform: in device-resize mode (the default),
@@ -302,6 +317,7 @@ def main(argv=None):
         device_outputs=args.device_outputs,
         target_size=None if args.host_resize else (h, w),
         quantize=args.quantize,
+        quantize_stem=args.quantize and args.quantize_stem,
         calib_frames=calib,
         exec_plans=exec_plans,
         temporal_interval=args.temporal,
@@ -387,7 +403,9 @@ def main(argv=None):
             batch=args.batch, want_overlay=args.overlay,
             device_outputs=args.device_outputs,
             target_size=None if args.host_resize else (h, w),
-            quantize=args.quantize, calib_frames=calib,
+            quantize=args.quantize,
+            quantize_stem=args.quantize and args.quantize_stem,
+            calib_frames=calib,
             exec_plans=exec_plans,
         )
         frames2 = open_frames(args, h, w, resized=args.host_resize)

@@ -96,6 +96,7 @@ def build_sparse_plans(
     dtype=jnp.bfloat16,
     rows_per_tile: int = 8,
     lowering: str = "pallas",
+    gathered_mode: str = "exact",
 ) -> tuple[dict, dict]:
     """Build ``{conv_name: FusedSparseConv}`` for every eligible masked conv.
 
@@ -112,6 +113,11 @@ def build_sparse_plans(
     library default stays "pallas" for API stability and because both
     families are production paths.  Structured RBGP lowerings apply first
     in either case.
+
+    ``gathered_mode`` selects the gathered execution form: ``"exact"``
+    (default — per-out-block exact supports, dead out-blocks emit zeros
+    with no conv; strictly fewer FLOPs than uniform padding) or
+    ``"split"`` (uniform repeat-padded supports).
     """
     assert lowering in ("pallas", "gathered"), lowering
     convs = {}
@@ -198,7 +204,8 @@ def build_sparse_plans(
             from tpuseg.ops.gathered_conv import plan_gathered_conv
 
             gplan = plan_gathered_conv(
-                w, mk, dilation=cdef.dilation, dtype=dtype
+                w, mk, dilation=cdef.dilation, dtype=dtype,
+                mode=gathered_mode,
             )
             if gplan.block_density >= dense_threshold:
                 report[cname] = (
@@ -207,8 +214,8 @@ def build_sparse_plans(
                 continue
             plans[cname] = gplan
             report[cname] = (
-                f"gathered: block density {gplan.block_density:.2f}, "
-                f"S={gplan.s}"
+                f"gathered[{gathered_mode}]: block density "
+                f"{gplan.block_density:.2f}, S={gplan.s}"
             )
             continue
         plan = plan_fused_sparse_conv(

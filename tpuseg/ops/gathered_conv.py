@@ -20,12 +20,21 @@ dot, ~0.5-0.6 ms/layer at measured VMEM copy rates, capping the family at
   count the fused Pallas kernel pays, with no union-over-out-blocks
   penalty.
 
-Two execution modes (measure both; XLA TPU grouped-conv lowering quality
-decides):
+Three execution modes (measure all; XLA TPU lowering quality decides):
 - ``split``: nmb separate convs, outputs concatenated (always safe);
+  supports are repeat-padded to the layer max S so one weight tensor
+  serves all blocks;
+- ``exact``: like split but each out-block's conv takes EXACTLY its own
+  S_j gathered channels — no repeat padding — and out-blocks with empty
+  support (all input K-blocks dead) emit zeros with no conv at all.
+  Magnitude block masks are strongly non-uniform: at 87.5% on the
+  layer-6 shape, 3 of 4 out-blocks have S_j=0 and the survivor S=2, so
+  uniform-S split pays nmb*S_max = 8 block-conv units where exact pays
+  sum_j S_j = 2;
 - ``grouped``: one conv with feature_group_count=nmb over the gathered
   (nmb*S*bk)-channel input (fewer HLO ops; grouped convs on some XLA/TPU
-  versions lower poorly — bench_sparse --gathered reports both).
+  versions lower poorly — bench_sparse --gathered reports both; measured
+  0.37-0.63x, dead end).
 
 Eligibility mirrors the fused kernel: stride 1, channels /128.  Replaces
 the external CUDA SpMM kernels the reference drives through
@@ -45,19 +54,24 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class GatheredGroupConv:
-    """Per-out-block gathered dense weights for the XLA sparse lowering."""
+    """Per-out-block gathered dense weights for the XLA sparse lowering.
 
-    idx: np.ndarray        # (nmb, S) int32 input K-block ids (repeat-padded)
-    w: jax.Array           # (nmb, kh, kw, S*bk, bm) dense per-block weights
+    ``split``/``grouped`` modes store one uniform weight tensor
+    (repeat-padded to the layer max S).  ``exact`` mode stores per-block
+    lists: ``idx[j]`` is block j's own (S_j,) support (possibly empty) and
+    ``w[j]`` its (kh, kw, S_j*bk, bm) dense weight (None when S_j == 0)."""
+
+    idx: "np.ndarray | list"   # (nmb, S) int32, or exact: list of (S_j,)
+    w: "jax.Array | list"      # (nmb, kh, kw, S*bk, bm), or exact: list
     kernel: int
     dilation: int
     bk: int
     bm: int
-    s: int
+    s: int                     # max per-block support (exact: max S_j)
     cin: int
     cout: int
     block_density: float
-    mode: str = "split"    # "split" | "grouped"
+    mode: str = "split"        # "split" | "grouped" | "exact"
 
     def apply(self, x: jax.Array) -> jax.Array:
         return gathered_conv_apply(x, self)
@@ -76,9 +90,10 @@ def plan_gathered_conv(
 
     Per out-block, the support is the union over taps of nonzero K-blocks
     (identical to plan_fused_sparse_conv's per-block union — RBGP/Block
-    masks are spatially uniform so the union IS the per-tap support),
-    repeat-padded to the max S so one gathered weight tensor serves all
-    blocks.
+    masks are spatially uniform so the union IS the per-tap support).
+    ``split``/``grouped`` repeat-pad supports to the max S so one gathered
+    weight tensor serves all blocks; ``exact`` keeps each block's own S_j
+    (dead out-blocks get an empty support and no weights at all).
     """
     kh, kw, cin, cout = w_hwio.shape
     assert kh == kw
@@ -87,6 +102,32 @@ def plan_gathered_conv(
     nkb, nmb = cin // bk, cout // bm
     blocks = wm.reshape(kh, kw, nkb, bk, nmb, bm)
     nz = np.abs(blocks).sum(axis=(0, 1, 3, 5)) > 0  # (nkb, nmb)
+    if mode == "exact":
+        idx_l: list = []
+        w_l: list = []
+        for j in range(nmb):
+            ks = np.flatnonzero(nz[:, j]).astype(np.int32)
+            idx_l.append(ks)
+            if ks.size:
+                wj = np.concatenate(
+                    [blocks[:, :, k, :, j, :] for k in ks], axis=2
+                )
+                w_l.append(jnp.asarray(wj, dtype))
+            else:
+                w_l.append(None)
+        return GatheredGroupConv(
+            idx=idx_l,
+            w=w_l,
+            kernel=kh,
+            dilation=dilation,
+            bk=bk,
+            bm=bm,
+            s=max(int(nz.sum(axis=0).max()), 0),
+            cin=cin,
+            cout=cout,
+            block_density=float(nz.mean()),
+            mode=mode,
+        )
     S = max(int(nz.sum(axis=0).max()), 1)
     idx = np.zeros((nmb, S), np.int32)
     w_g = np.zeros((nmb, kh, kw, S * bk, bm), np.float32)
@@ -138,11 +179,12 @@ def _per_block_inputs(parts: list[jax.Array], nmb: int, s: int):
 class GatheredGroupConvQ:
     """Int8 variant: the same gather + per-block convs with int8 operands
     and int32 MXU accumulation (2x the bf16 rate on v5e) — the
-    prune+quantize composition for the gathered lowering."""
+    prune+quantize composition for the gathered lowering.  ``exact`` mode
+    mirrors GatheredGroupConv: idx/w_q/w_scale are per-block lists."""
 
-    idx: np.ndarray
-    w_q: jax.Array               # (nmb, kh, kw, S*bk, bm) int8
-    w_scale: jax.Array           # (nmb, bm) f32 per-output-channel
+    idx: "np.ndarray | list"
+    w_q: "jax.Array | list"      # (nmb, kh, kw, S*bk, bm) int8, or list
+    w_scale: "jax.Array | list"  # (nmb, bm) f32 per-out-channel, or list
     kernel: int
     dilation: int
     bk: int
@@ -166,19 +208,44 @@ class GatheredGroupConvQ:
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
         ).astype(jnp.int8)
-        parts = _gather_parts(xq, self.idx, self.bk)
-        outs = []
-        for j, xg in enumerate(_per_block_inputs(parts, nmb, self.s)):
-            y = jax.lax.conv_general_dilated(
-                xg, self.w_q[j],
+
+        def iconv(xg, wq):
+            return jax.lax.conv_general_dilated(
+                xg, wq,
                 window_strides=(1, 1),
                 padding=[(pad, pad)] * 2,
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
+
+        if isinstance(self.idx, list):  # exact mode
+            bk = self.bk
+            outs = []
+            for j in range(nmb):
+                ks = self.idx[j]
+                if len(ks) == 0:
+                    outs.append(
+                        jnp.zeros(x.shape[:-1] + (self.bm,), jnp.float32))
+                    continue
+                xg = (
+                    xq[..., int(ks[0]) * bk : (int(ks[0]) + 1) * bk]
+                    if len(ks) == 1
+                    else jnp.concatenate(
+                        [xq[..., int(k) * bk : (int(k) + 1) * bk]
+                         for k in ks], axis=-1)
+                )
+                outs.append(
+                    iconv(xg, self.w_q[j]).astype(jnp.float32)
+                    * (x_scale * self.w_scale[j])
+                )
+            return jnp.concatenate(outs, axis=-1)
+        parts = _gather_parts(xq, self.idx, self.bk)
+        outs = []
+        for j, xg in enumerate(_per_block_inputs(parts, nmb, self.s)):
             outs.append(
-                y.astype(jnp.float32) * (x_scale * self.w_scale[j])
+                iconv(xg, self.w_q[j]).astype(jnp.float32)
+                * (x_scale * self.w_scale[j])
             )
         return jnp.concatenate(outs, axis=-1)
 
@@ -188,6 +255,34 @@ def quantize_gathered_plan(
 ) -> GatheredGroupConvQ:
     """Per-output-channel symmetric int8 on each block's gathered dense
     weight (tpuseg.ops.quant.quantize_weight semantics)."""
+    if plan.mode == "exact":
+        wq_l: list = []
+        ws_l: list = []
+        for wj in plan.w:
+            if wj is None:
+                wq_l.append(None)
+                ws_l.append(None)
+                continue
+            wjf = np.asarray(wj, np.float32)
+            amax = np.abs(wjf).reshape(-1, wjf.shape[-1]).max(axis=0)
+            sc = np.maximum(amax, 1e-8) / 127.0  # (bm,)
+            wq_l.append(jnp.asarray(
+                np.clip(np.round(wjf / sc), -127, 127).astype(np.int8)))
+            ws_l.append(jnp.asarray(sc.astype(np.float32)))
+        return GatheredGroupConvQ(
+            idx=plan.idx,
+            w_q=wq_l,
+            w_scale=ws_l,
+            kernel=plan.kernel,
+            dilation=plan.dilation,
+            bk=plan.bk,
+            bm=plan.bm,
+            s=plan.s,
+            cin=plan.cin,
+            cout=plan.cout,
+            block_density=plan.block_density,
+            x_scale=x_scale,
+        )
     w = np.asarray(plan.w, np.float32)  # (nmb, kh, kw, S*bk, bm)
     absmax = np.abs(w).reshape(w.shape[0], -1, w.shape[-1]).max(axis=1)
     scale = np.maximum(absmax, 1e-8) / 127.0  # (nmb, bm)
@@ -221,6 +316,25 @@ def gathered_conv_apply(x: jax.Array, plan: GatheredGroupConv) -> jax.Array:
     S, bk, bm = plan.s, plan.bk, plan.bm
     nmb = plan.cout // bm
     pad = _same_pad(plan.kernel, plan.dilation)
+    if plan.mode == "exact":
+        outs = []
+        for j in range(nmb):
+            ks = plan.idx[j]
+            if len(ks) == 0:
+                # whole out-block masked away: its (masked) conv output is
+                # exactly zero — emit zeros, run nothing
+                outs.append(jnp.zeros(x.shape[:-1] + (bm,), x.dtype))
+                continue
+            xg = (
+                x[..., int(ks[0]) * bk : (int(ks[0]) + 1) * bk]
+                if len(ks) == 1
+                else jnp.concatenate(
+                    [x[..., int(k) * bk : (int(k) + 1) * bk] for k in ks],
+                    axis=-1,
+                )
+            )
+            outs.append(conv2d(xg, plan.w[j], 1, plan.dilation, pad))
+        return jnp.concatenate(outs, axis=-1)
     parts = _gather_parts(x, plan.idx, bk)
     if plan.mode == "grouped":
         xg = jnp.concatenate(parts, axis=-1)  # (N,H,W, nmb*S*bk)

@@ -261,7 +261,7 @@ class PolyphaseFrontend:
 
     def __init__(self, params, names=("layer.0.0", "layer.1.0", "layer.2.0"),
                  f: int = 4, dtype=jnp.bfloat16,
-                 normalize: tuple | None = None):
+                 normalize: tuple | None = None, int8_stem: bool = False):
         # f trades kernel-padding overcompute (grows with f) against MXU lane
         # occupancy (64 channels at f=2 vs 256 at f=4).  Measured on v5e at
         # 1024x2048: f=4 85.6 fps vs f=2 68.6 fps — lanes win.
@@ -294,6 +294,70 @@ class PolyphaseFrontend:
                 (jnp.asarray(wp, dtype), jnp.asarray(bias_p, dtype), plo, phi)
             )
         self.out_f = specs[-1][3]
+        # int8 stem convs (measured +12% on the frontend, bench_sparse
+        # --frontend): per-output-channel weight scales; activation scales
+        # are ANALYTIC for conv0 (its input is the normalized uint8 frame,
+        # whose exact range follows from (mean, std)), and dynamic
+        # per-frame absmax for the rest unless ``stem_x_scales`` is set
+        # (calibrate_stem_scales) — static scales remove the reductions.
+        self.int8_stem = bool(int8_stem)
+        self.stem_x_scales: list | None = None
+        if int8_stem:
+            from tpuseg.ops.quant import quantize_weight
+
+            self.q_convs = [
+                (jnp.asarray(wq), jnp.asarray(ws))
+                for wq, ws in (
+                    quantize_weight(np.asarray(wp, np.float32))
+                    for wp, _b, _lo, _hi in self.convs
+                )
+            ]
+            if self.normalize is not None:
+                mean, std = (np.asarray(v, np.float32) for v in normalize)
+                bound = np.maximum(
+                    np.abs((0.0 - mean) / std), np.abs((1.0 - mean) / std)
+                ).max()
+                self.conv0_x_scale = float(bound / 127.0)
+            else:
+                self.conv0_x_scale = None  # dynamic
+
+    def _stem_convs(self, x: jax.Array) -> jax.Array:
+        """The three folded stem convs; int8 when ``int8_stem`` is set."""
+        dtype = self.convs[0][0].dtype
+        if not self.int8_stem:
+            for wp, bias, plo, phi in self.convs:
+                x = jax.lax.conv_general_dilated(
+                    x, wp, (1, 1), [(plo, phi), (plo, phi)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                x = jax.nn.relu(x + bias)
+            return x
+        for i, ((_wp, bias, plo, phi), (wq, ws)) in enumerate(
+                zip(self.convs, self.q_convs)):
+            if i == 0 and self.conv0_x_scale is not None:
+                xs = jnp.float32(self.conv0_x_scale)
+            elif self.stem_x_scales is not None:
+                xs = jnp.float32(self.stem_x_scales[i])
+            else:
+                # per-frame dynamic scale (reduce HWC only) — frames stay
+                # independent of their batch mates, as in ops.quant
+                absmax = jnp.max(
+                    jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3),
+                    keepdims=True,
+                )
+                xs = jnp.maximum(absmax, 1e-8) / 127.0
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / xs), -127, 127
+            ).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, (1, 1), [(plo, phi), (plo, phi)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            x = jax.nn.relu(
+                y.astype(jnp.float32) * (xs * ws) + bias.astype(jnp.float32)
+            ).astype(dtype)
+        return x
 
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype = self.convs[0][0].dtype
@@ -302,12 +366,7 @@ class PolyphaseFrontend:
             mean48, inv_std48 = self.normalize
             x = (x.astype(jnp.float32) / 255.0 - mean48) * inv_std48
         x = x.astype(dtype)
-        for wp, bias, plo, phi in self.convs:
-            x = jax.lax.conv_general_dilated(
-                x, wp, (1, 1), [(plo, phi), (plo, phi)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            x = jax.nn.relu(x + bias)
+        x = self._stem_convs(x)
         if self.out_f == 1:
             return x
         return depth_to_space(x, self.out_f)
@@ -333,8 +392,10 @@ class FusedStage3Frontend(PolyphaseFrontend):
     """
 
     def __init__(self, params, f: int = 4, dtype=jnp.bfloat16,
-                 normalize: tuple | None = None, stage3: str = "layer.3"):
-        super().__init__(params, f=f, dtype=dtype, normalize=normalize)
+                 normalize: tuple | None = None, stage3: str = "layer.3",
+                 int8_stem: bool = False):
+        super().__init__(params, f=f, dtype=dtype, normalize=normalize,
+                         int8_stem=int8_stem)
         self.dtype = dtype
 
         def conv_w(name):
@@ -374,11 +435,7 @@ class FusedStage3Frontend(PolyphaseFrontend):
             mean48, inv_std48 = self.normalize
             x = (x.astype(jnp.float32) / 255.0 - mean48) * inv_std48
         x = x.astype(dtype)
-        for wp, bias, plo, phi in self.convs:
-            x = jax.lax.conv_general_dilated(
-                x, wp, (1, 1), [(plo, phi), (plo, phi)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = jax.nn.relu(x + bias)
+        x = self._stem_convs(x)
         # x: layer-2 output on the f=2 phase grid; stage-3 block 0 entry
         w1, b1, lo1, hi1 = self.b0_conv1
         y1 = jax.nn.relu(jax.lax.conv_general_dilated(
@@ -394,6 +451,39 @@ class FusedStage3Frontend(PolyphaseFrontend):
         out = jax.nn.relu(self._conv(out, f"{self.stage3}.1.conv1"))
         out = jax.nn.relu(self._conv(out, f"{self.stage3}.1.conv2") + r)
         return out
+
+
+def calibrate_stem_scales(frontend: PolyphaseFrontend, batches) -> list[float]:
+    """Static per-conv activation scales for an ``int8_stem`` frontend:
+    runs the BF16 stem convs over ``batches`` (uint8 BATCHED frames in
+    fold_input form — (n, h, w*c) flat rows or (n, h, w, c)) recording each
+    conv's input absmax; returns the 3 scales and installs them on
+    ``frontend.stem_x_scales``.
+
+    conv0's analytic scale (exact, from the normalize bounds) is kept when
+    present — calibration can only shrink coverage there."""
+    scales = [0.0] * len(frontend.convs)
+    for fr in batches:
+        x = fold_input(jnp.asarray(fr), frontend.f)
+        if frontend.normalize is not None:
+            mean48, inv_std48 = frontend.normalize
+            x = (x.astype(jnp.float32) / 255.0 - mean48) * inv_std48
+        x = x.astype(frontend.convs[0][0].dtype)
+        for i, (wp, bias, plo, phi) in enumerate(frontend.convs):
+            scales[i] = max(
+                scales[i],
+                float(jnp.max(jnp.abs(x.astype(jnp.float32)))),
+            )
+            x = jax.lax.conv_general_dilated(
+                x, wp, (1, 1), [(plo, phi), (plo, phi)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jax.nn.relu(x + bias)
+    out = [max(s, 1e-8) / 127.0 for s in scales]
+    if getattr(frontend, "conv0_x_scale", None) is not None:
+        out[0] = frontend.conv0_x_scale
+    frontend.stem_x_scales = out
+    return out
 
 
 class PolyphaseStem:

@@ -270,6 +270,8 @@ def stage_fidelity(args) -> None:
         "yuv420": dict(transport="yuv420"),
         "int8_dynamic": dict(quantize=True),
         "int8_calib": dict(quantize=True, calib_frames=frames[:8]),
+        "int8_stem_calib": dict(quantize=True, quantize_stem=True,
+                                calib_frames=frames[:8]),
         "temporal2": dict(temporal_interval=2),
         "temporal2_nearest": dict(temporal_interval=2, temporal_nearest=True),
         "temporal4": dict(temporal_interval=4),

@@ -141,6 +141,7 @@ class VideoSegmenter:
         device_outputs: bool = False,
         target_size: tuple[int, int] | None = None,
         quantize: bool = False,
+        quantize_stem: bool = False,
         calib_frames=None,
         exec_plans=None,
         temporal_interval: int = 1,
@@ -254,13 +255,20 @@ class VideoSegmenter:
                 # the frontend owns normalization (runs after the fast
                 # space-to-depth) and, for 2-block stage-3 archs, the
                 # stage-3 entry convs (phase-folded stride-2)
+                # ``quantize_stem`` runs the three polyphase stem convs in
+                # int8 too (measured 1.12x on the frontend, which is ~25%
+                # of the frame once sparse/int8 serving shrinks the
+                # backbone — bench_sparse --frontend).  Stage-3 convs stay
+                # bf16 (measured: no further gain at their 64-wide shapes).
                 try:
                     stem_fn = FusedStage3Frontend(
-                        params, dtype=stem_dtype, normalize=(mean, std))
+                        params, dtype=stem_dtype, normalize=(mean, std),
+                        int8_stem=quantize_stem)
                     stem_stages = 4
                 except (AssertionError, KeyError):
                     stem_fn = PolyphaseFrontend(
-                        params, dtype=stem_dtype, normalize=(mean, std))
+                        params, dtype=stem_dtype, normalize=(mean, std),
+                        int8_stem=quantize_stem)
                     stem_stages = 3
         user_plans = dict(exec_plans) if exec_plans else None
         exec_plans = user_plans
@@ -301,6 +309,10 @@ class VideoSegmenter:
                 # chunk to the serving batch size: one big batch at full
                 # resolution can exceed HBM (activations scale with N)
                 batches = [cal[i:i + batch] for i in range(0, len(cal), batch)]
+                if quantize_stem and use_stem:
+                    from tpuseg.ops.polyphase import calibrate_stem_scales
+
+                    calibrate_stem_scales(stem_fn, batches)
                 scales = calibrate_scales(
                     params, bn_state, spec, batches, plans=exec_plans,
                     compute_dtype=compute_dtype,
