@@ -458,3 +458,94 @@ def test_all_shipped_configs_apply():
             got = 1 - np.mean([v.mean() for v in masks.values()])
             assert abs(got - want) < 0.02, (f, got, want)
     assert seen == 12
+
+
+def test_block_regular_per_out_block_topk():
+    """block_regular: every out-block keeps exactly k = round((1-sp)*nib)
+    in-blocks (>= 1), chosen by magnitude, uniform across taps."""
+    from tpuseg.sparsity.block_regular import (
+        BlockRegularConfig,
+        prune_as_block_regular,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(256, 512, 3, 3)).astype(np.float32)
+    for sp, want_k in [(0.5, 2), (0.75, 1), (0.875, 1)]:
+        m = prune_as_block_regular(
+            w, BlockRegularConfig(sp, 128, 128))
+        assert m.shape == w.shape
+        # spatially uniform
+        assert (m == m[:, :, :1, :1]).all()
+        meta = m[:, :, 0, 0].reshape(2, 128, 4, 128)
+        live = (meta.sum(axis=(1, 3)) > 0)  # (nob, nib)
+        assert (live.sum(axis=1) == want_k).all(), (sp, live.sum(axis=1))
+        # top-k by |block sum|: kept blocks outweigh every dropped one
+        sums = np.abs(w).sum(axis=(2, 3)).reshape(2, 128, 4, 128).sum(
+            axis=(1, 3))
+        for ob in range(2):
+            kept = sums[ob][live[ob]]
+            dropped = sums[ob][~live[ob]]
+            if dropped.size:
+                assert kept.min() >= dropped.max()
+
+
+def test_block_regular_never_kills_small_layers():
+    """The geometry that motivated the masker: at 87.5% the 2-block stage-5
+    layers lose EVERY block under BlockPruner's static construction
+    (int((1-sp)*n_blocks) = 0 — the path the serving CLI uses on
+    unconverged weights); block_regular keeps 1 per out-block in both the
+    magnitude and static paths."""
+    from tpuseg.sparsity.block import BlockConfig, construct_as_block
+    from tpuseg.sparsity.block_regular import (
+        BlockRegularConfig,
+        prune_as_block_regular,
+    )
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(256, 128, 3, 3)).astype(np.float32)  # 2x1 blocks
+    m_ref = construct_as_block(
+        w, BlockConfig(0.875, 128, 128, -1, -1, collapse_tensor=False), rng)
+    assert m_ref.sum() == 0  # BlockPruner construction kills it entirely
+    for static in (False, True):
+        m_reg = prune_as_block_regular(
+            w, BlockRegularConfig(0.875, 128, 128), rng, is_static=static)
+        live = m_reg[:, :, 0, 0].reshape(2, 128, 1, 128).sum(axis=(1, 3)) > 0
+        assert live.all()  # every out-block keeps its one in-block
+
+
+def test_block_regular_masker_roundtrip_and_static():
+    """create_masker dispatch, uniform-S serving plans, and the static
+    (random) construction keeping exactly k per out-block."""
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.sparse_exec import build_sparse_plans
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.gathered_conv import GatheredGroupConv
+    from tpuseg.sparsity import apply_masks, create_masker
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    cfg = {
+        "pruner_type": "block_regular",
+        "configs": [{
+            "layer_set": ["layer.6.0.conv1.weight", "layer.7.0.weight"],
+            "sparsity": 0.75,
+            "block_height": 128,
+            "block_width": 128,
+        }],
+    }
+    masker = create_masker(cfg, seed=0)
+    masks = masker.generate_masks(params, is_static=False)
+    assert set(masks) == {"layer.6.0.conv1.weight", "layer.7.0.weight"}
+    folded = fold_bn(dict(apply_masks(params, masks)), state, spec)
+    plans, report = build_sparse_plans(
+        folded, masks, spec, dtype=jnp.float32, lowering="gathered")
+    assert len(plans) == 2, report
+    for p in plans.values():
+        assert isinstance(p, GatheredGroupConv)
+        assert [len(ix) for ix in p.idx] == [1] * len(p.idx)  # uniform S=1
+
+    static = masker.generate_masks(params, is_static=True)
+    m = static["layer.6.0.conv1.weight"]  # HWIO (3,3,256,512)
+    live = m[0, 0].reshape(2, 128, 4, 128).sum(axis=(1, 3)).T > 0  # (O,I)b
+    assert (live.sum(axis=1) == 1).all()  # k = round(0.25*2) = 1 per block

@@ -56,9 +56,11 @@ def parse_args(argv=None):
                    choices=("gathered", "pallas"),
                    help="sparse execution family for --pr-config-path: "
                         "'gathered' (channel-gather + small dense XLA "
-                        "convs — 1.60x model bf16 / 1.66x int8 at 87.5%%, "
-                        "round-4 hardware record) or 'pallas' (fused "
-                        "block-sparse kernels, 1.25x/1.38x)")
+                        "convs — 1.63x model bf16 at 87.5%% uniform "
+                        "masks, up to 5.5x on skewed supports with the "
+                        "exact mode; round-4 hardware record) or "
+                        "'pallas' (fused block-sparse kernels, "
+                        "1.25x/1.38x)")
     p.add_argument("--gathered-mode", default="exact",
                    choices=("exact", "split"),
                    help="gathered-lowering execution form: 'exact' "

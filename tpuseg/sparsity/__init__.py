@@ -23,6 +23,7 @@ from tpuseg.sparsity.base import (  # noqa: F401
     mask_sparsity_stats,
 )
 from tpuseg.sparsity.block import BlockMasker  # noqa: F401
+from tpuseg.sparsity.block_regular import BlockRegularMasker  # noqa: F401
 from tpuseg.sparsity.grouping import GroupingMasker  # noqa: F401
 from tpuseg.sparsity.hb import HbMasker  # noqa: F401
 from tpuseg.sparsity.rmb import RmbMasker  # noqa: F401

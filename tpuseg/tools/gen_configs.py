@@ -177,6 +177,72 @@ def emit_serving_configs(out_root: str, matrix=None, verbose: bool = True
     return written
 
 
+# Block-REGULAR serving configs (tpuseg-native, block-level N:M —
+# tpuseg.sparsity.block_regular): per out-block top-k in-blocks, so every
+# layer and every 128-output block keeps at least one live in-block at ANY
+# sparsity.  The plain block128 set above is the raw BlockPruner geometry
+# (reference semantics), whose strict per-layer threshold ZEROES whole
+# small layers at 87.5% (all of DRN-D-22's stage 5 — PERF_NOTES round-4
+# cont.): maximal speed (dead layers are free under the exact gathered
+# lowering), minimal at-mask accuracy.  This regular set is the
+# fidelity-preserving point on the same axis: uniform supports, no dead
+# channels, served by the same lowerings.  Covers ALL /128 layers
+# (single-block layers keep their one block and stay dense — harmless).
+REGULAR_MATRIX: list[tuple[str, float]] = [
+    ("drn_d_22", 0.50),
+    ("drn_d_22", 0.75),
+    ("drn_d_22", 0.875),
+    ("drn_d_54", 0.875),
+]
+
+
+def emit_regular_configs(out_root: str, matrix=None, verbose: bool = True
+                         ) -> list[str]:
+    """Write block-regular (block-level N:M) serving configs."""
+    import jax
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.sparsity.base import hwio_to_oihw
+
+    matrix = REGULAR_MATRIX if matrix is None else matrix
+    written = []
+    params_by_arch: dict[str, dict] = {}
+    for arch, sp in matrix:
+        if arch not in params_by_arch:
+            params_by_arch[arch], _, _ = init_drnseg(
+                jax.random.key(0), arch, 19)
+        layers = []
+        for name, v in params_by_arch[arch].items():
+            arr = np.asarray(v) if not hasattr(v, "shape") else v
+            if getattr(arr, "ndim", 0) != 4 or name == "up.weight":
+                continue
+            w = hwio_to_oihw(np.asarray(arr))
+            if w.shape[0] % 128 or w.shape[1] % 128:
+                continue
+            layers.append(name)
+        cfg = {
+            "pruner_type": "block_regular",
+            "configs": [
+                {
+                    "layer_set": layers,
+                    "sparsity": sp,
+                    "block_height": 128,
+                    "block_width": 128,
+                }
+            ],
+        }
+        d = os.path.join(out_root, arch)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{arch}_block128reg_{100 * sp:.2f}.json")
+        with open(path, "w") as fh:
+            json.dump(cfg, fh, indent=4)
+            fh.write("\n")
+        if verbose:
+            print(f"wrote {path} ({len(layers)} layers, sparsity={sp})")
+        written.append(path)
+    return written
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="regenerate the vendored optimal_configs/ set")
@@ -193,6 +259,7 @@ def main(argv=None):
         pass
     emit_optimal_configs(args.out)
     emit_serving_configs(args.out)
+    emit_regular_configs(args.out)
 
 
 if __name__ == "__main__":

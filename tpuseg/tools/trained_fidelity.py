@@ -368,15 +368,22 @@ def stage_compress(args) -> None:
         repo_root, "optimal_configs", args.arch,
         f"{args.arch}_block128_87.50.json",
     )
+    regular_cfg = os.path.join(
+        repo_root, "optimal_configs", args.arch,
+        f"{args.arch}_block128reg_87.50.json",
+    )
     variants = {
         "rbgp_50": create_masker(cfg, seed=args.seed).generate_masks(params),
         "unstructured_50": magnitude_unstructured_masks(params, 0.5),
-        # the vendored SERVING geometry (128x128 channel blocks at 87.5%
-        # on the /128 layers — what `seg_video --sparse-lowering gathered`
-        # executes at 1.70x): its accuracy-recovery story belongs next to
-        # the research geometries above
+        # the vendored SERVING geometries: raw BlockPruner block128 (the
+        # speed end — strict threshold kills whole small layers at 87.5%,
+        # exact-mode serving measured 616 fps) and block-regular N:M (the
+        # fidelity end — per-out-block top-k, no dead channels).  Their
+        # accuracy-recovery stories belong next to the research geometries
         "block128_87.5": create_masker(
             serving_cfg, seed=args.seed).generate_masks(params),
+        "block128reg_87.5": create_masker(
+            regular_cfg, seed=args.seed).generate_masks(params),
     }
     results = {"dense_miou": round(dense_miou, 4)}
     for name, masks in variants.items():
