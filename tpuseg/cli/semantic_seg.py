@@ -77,6 +77,12 @@ def parse_args(argv=None):
                         "(ref semseg_baseline.py:752)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each backbone stage (jax.checkpoint): "
+                        "backward recomputes stage internals instead of "
+                        "keeping every activation live — fits larger "
+                        "crops/batches in HBM; mathematically exact "
+                        "(rounding-level bf16 differences on TPU only)")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="cap the data-parallel mesh at N local devices "
                         "(0 = use all local devices whose count divides "
@@ -287,7 +293,10 @@ def cmd_train(args):
         }))
     ts = replicate(mesh, ts)
     step_fn = shard_train_step(
-        make_seg_train_step(spec, tx, compute_dtype=compute_dtype), mesh
+        make_seg_train_step(
+            spec, tx, compute_dtype=compute_dtype, remat=args.remat
+        ),
+        mesh,
     )
     eval_fn = jax.jit(make_eval_step(spec, "seg", compute_dtype=compute_dtype))
     data_put = lambda x: put_global_batch(data_sharding, x)  # noqa: E731

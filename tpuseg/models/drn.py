@@ -598,6 +598,28 @@ def _run_block(x, params, state, updates, block: BlockDef, train, compute_dtype,
     return jax.nn.relu(out)
 
 
+def _run_stage(
+    params, state, x, stage: StageDef, train, compute_dtype, sparse_plans
+):
+    """One backbone stage as a pure function: ``(params, state, x) ->
+    (x, bn_updates)``.  Functional (no closure-mutated dict) so it can be
+    wrapped in ``jax.checkpoint`` for rematerialized training."""
+    updates: State = {}
+    if stage.kind == "convs":
+        for cdef, bdef in stage.convs:
+            x = _run_conv_bn_relu(
+                x, params, state, updates, cdef, bdef, train, compute_dtype,
+                sparse_plans,
+            )
+    else:
+        for block in stage.blocks:
+            x = _run_block(
+                x, params, state, updates, block, train, compute_dtype,
+                sparse_plans,
+            )
+    return x, updates
+
+
 def drn_forward(
     params: Params,
     state: State,
@@ -611,6 +633,7 @@ def drn_forward(
     stem_fn: Callable | None = None,
     stem_stages: int = 1,
     sparse_plans=None,
+    remat: bool = False,
 ) -> tuple[jax.Array, list[jax.Array], State]:
     """Run the DRN backbone.
 
@@ -622,6 +645,16 @@ def drn_forward(
     MXU-efficient polyphase frontend (tpuseg.ops.polyphase).  When it covers
     a single conv stage, the trailing ReLU is applied here; multi-stage
     frontends apply their own activations.
+
+    ``remat=True`` wraps every stage in ``jax.checkpoint``: under autodiff
+    only the 8 stage-boundary activations are saved and each stage's
+    internals are recomputed during the backward pass — the standard TPU
+    FLOPs-for-HBM trade that unlocks large-crop/large-batch training.
+    Checkpointing replays the same ops on the same inputs, so gradients
+    are mathematically identical (bitwise on the CPU test path,
+    tests/test_remat.py; TPU bf16 may differ at rounding level because
+    XLA fuses the recompute differently).  The value-only (inference)
+    path is unaffected by construction.
     """
     updates: State = {}
     taps: list[jax.Array] = []
@@ -638,18 +671,16 @@ def drn_forward(
                     x = jax.nn.relu(x)
             # replaced stages contribute no taps before layer1 anyway
             continue
-        if stage.kind == "convs":
-            for cdef, bdef in stage.convs:
-                x = _run_conv_bn_relu(
-                    x, params, state, updates, cdef, bdef, train, compute_dtype,
-                    sparse_plans,
-                )
-        else:
-            for block in stage.blocks:
-                x = _run_block(
-                    x, params, state, updates, block, train, compute_dtype,
-                    sparse_plans,
-                )
+
+        def stage_fn(params, state, x, _stage=stage):
+            return _run_stage(
+                params, state, x, _stage, train, compute_dtype, sparse_plans
+            )
+
+        if remat:
+            stage_fn = jax.checkpoint(stage_fn)
+        x, stage_updates = stage_fn(params, state, x)
+        updates.update(stage_updates)
         if stage_name == "stem" and spec.stem_maxpool:
             # DRN_A 3x3/s2/p1 maxpool after the stem (drn.py:272,318)
             x = jax.lax.reduce_window(

@@ -118,6 +118,7 @@ def drnseg_forward(
     stem_fn=None,
     stem_stages: int = 1,
     sparse_plans=None,
+    remat: bool = False,
 ) -> tuple[jax.Array, jax.Array, State]:
     """Full DRNSeg forward.
 
@@ -130,6 +131,7 @@ def drnseg_forward(
     feats, _, updates = drn_forward(
         params, state, x, spec, train=train, compute_dtype=compute_dtype,
         stem_fn=stem_fn, stem_stages=stem_stages, sparse_plans=sparse_plans,
+        remat=remat,
     )
     seg = conv2d(feats, params["seg.weight"], compute_dtype=compute_dtype)
     seg = seg + params["seg.bias"].astype(seg.dtype)

@@ -385,6 +385,14 @@ def stage_compress(args) -> None:
         "block128reg_87.5": create_masker(
             regular_cfg, seed=args.seed).generate_masks(params),
     }
+    if args.variants:
+        want = {v.strip() for v in args.variants.split(",") if v.strip()}
+        unknown = want - set(variants)
+        if unknown:
+            raise SystemExit(
+                f"--variants: unknown {sorted(unknown)}; "
+                f"have {sorted(variants)}")
+        variants = {k: v for k, v in variants.items() if k in want}
     results = {"dense_miou": round(dense_miou, 4)}
     for name, masks in variants.items():
         masked = apply_masks(
@@ -534,6 +542,9 @@ def main(argv=None):
     p.add_argument("--video-frames", type=int, default=96)
     p.add_argument("--speed", type=float, default=4.0)
     p.add_argument("--serve-batch", type=int, default=8)
+    p.add_argument("--variants", default=None,
+                   help="comma list restricting the compress-stage mask "
+                        "variants (default: all)")
     p.add_argument("--modes", default=None,
                    help="comma list restricting the fidelity mode matrix "
                         "(exact always runs as the baseline)")
