@@ -389,9 +389,15 @@ def test_grouping_block_diagonal():
 
 @pytest.mark.slow
 def test_all_vendored_configs_apply():
-    """Every vendored optimal_configs JSON (the full 12-file matrix
-    tpuseg ships — tpuseg.tools.gen_configs) generates masks at exactly
-    the advertised sparsity, with no reference mirror mounted."""
+    """Every vendored optimal_configs JSON (the full matrix tpuseg ships —
+    tpuseg.tools.gen_configs) generates masks at exactly the advertised
+    sparsity, with no reference mirror mounted.
+
+    Three geometry families per arch: fine-grained srmbrep (reference
+    schema, all prunable layers), raw block128 (BlockPruner semantics on
+    the multi-block /128 convs — single-block layers excluded, see
+    gen_configs.emit_serving_configs), and block128reg (block-level N:M,
+    ALL /128 convs)."""
     import glob
 
     from conftest import VENDORED_CONFIGS
@@ -400,8 +406,10 @@ def test_all_vendored_configs_apply():
     from tpuseg.sparsity.base import mask_sparsity_stats
 
     seen = 0
-    for arch, n_layers, n_serving in (
-        ("drn_d_22", 24, 12), ("drn_d_54", 56, 40)
+    for arch, n_layers, n_serving, n_reg in (
+        ("drn_d_22", 24, 12, 15),
+        ("drn_d_38", None, 22, 29),
+        ("drn_d_54", 56, 40, 44),
     ):
         params, _state, _spec = init_drnseg(0, arch, 19)
         for f in sorted(glob.glob(
@@ -410,22 +418,37 @@ def test_all_vendored_configs_apply():
             masks = create_masker(f, seed=0).generate_masks(params)
             want = float(f.rsplit("_", 1)[1][:-5])
             stats = mask_sparsity_stats(masks)
-            if "block128" in f:
-                # serving set: 128x128 channel-block masks on the
-                # /128-divisible convs; per-layer sparsity is the exact
-                # block quantization floor(s*nb)/nb of the target
+            if "block128reg" in f:
+                # block-level N:M: every out-block keeps
+                # k = max(1, round((1-s)*nib)) in-blocks; all covered
+                # layers are exactly /128 so sparsity = 1 - k/nib
+                assert len(masks) == n_reg, f
+                for layer, sp in stats.items():
+                    i = np.transpose(np.asarray(masks[layer]),
+                                     (3, 2, 0, 1)).shape[1]
+                    nib = i // 128
+                    k = max(1, round((1 - want / 100) * nib))
+                    exact = 100 * (1 - k / nib)
+                    assert abs(sp - exact) < 1e-6, (f, layer, sp, exact)
+            elif "block128" in f:
+                # raw serving set: 128x128 channel-block masks on the
+                # multi-block /128 convs; per-layer sparsity is the exact
+                # block quantization floor(s*nb)/nb of the target —
+                # except layers BlockPruner's strict per-layer threshold
+                # zeroes entirely (every block <= thresh: sp == 100)
                 assert len(masks) == n_serving, f
                 for layer, sp in stats.items():
                     o, i = (np.transpose(np.asarray(masks[layer]),
                                          (3, 2, 0, 1)).shape[:2])
                     nb = (o // 128) * (i // 128)
                     exact = 100 * int(want / 100 * nb) / nb
-                    assert abs(sp - exact) < 1e-6, (f, layer, sp, exact)
+                    assert abs(sp - exact) < 1e-6 or sp == 100.0, (
+                        f, layer, sp, exact)
             else:
                 assert len(masks) == n_layers, f
                 for layer, sp in stats.items():
                     assert abs(sp - want) < 1e-6, (f, layer, sp)
-    assert seen == 16
+    assert seen == 22
 
 
 @pytest.mark.slow

@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", default="runs/imagenet")
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each backbone stage-group during "
+                        "training (FLOPs-for-HBM trade, exact)")
     p.add_argument("--synthetic-n", type=int, default=256)
     return p.parse_args(argv)
 
@@ -104,7 +107,8 @@ def main(argv=None):
             step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32),
         )
 
-    step_fn = jax.jit(make_cls_train_step(spec, tx, compute_dtype=compute_dtype))
+    step_fn = jax.jit(make_cls_train_step(
+        spec, tx, compute_dtype=compute_dtype, remat=args.remat))
     fwd = classifier_forward(spec, compute_dtype)
     eval_fwd = jax.jit(lambda p, s, x: fwd(p, s, x, train=False)[0])
     topk = (1, min(5, classes))

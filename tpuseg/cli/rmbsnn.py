@@ -59,6 +59,10 @@ def parse_args(argv=None):
                         "directory (async save, multi-host coordination)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each backbone stage-group "
+                        "(jax.checkpoint): large-batch KD runs trade ~1/3 "
+                        "extra forward FLOPs for stage-boundary peak HBM")
     p.add_argument("--synthetic-n", type=int, default=256)
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="cap the data-parallel mesh at N local devices "
@@ -225,7 +229,7 @@ def main(argv=None):
     step_fn = shard_train_step(make_cls_train_step(
         spec, tx, compute_dtype=compute_dtype, teacher=teacher,
         kd_student_wt=args.kd_student_wt, kd_distill_wt=args.kd_distill_wt,
-        kd_temperature=args.kd_temperature,
+        kd_temperature=args.kd_temperature, remat=args.remat,
     ), mesh)
     data_put = lambda x: put_global_batch(data_sharding, x)  # noqa: E731
     fwd = classifier_forward(spec, compute_dtype)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Any
 
 import jax
@@ -267,16 +268,29 @@ def _init_cresnet(spec: CifarSpec, I: _Init):
     I.linear("fc", 64 * exp, spec.num_classes)
 
 
-def _fwd_cresnet(params, state, x, spec, train, cd, upd, plans=None):
-    exp = 4 if "bottleneck" in spec.block else 1
+def _group(upd, remat, fn, params, state, x):
+    """Run one stage-group ``fn(params, state, x) -> (x, group_updates)``,
+    optionally under ``jax.checkpoint``, merging its BN updates into
+    ``upd``.  The group functions are pure (local update dicts) exactly so
+    they can be checkpointed — the classifier-side mirror of the DRN
+    backbone's per-stage remat (models/drn.py::drn_forward)."""
+    if remat:
+        fn = jax.checkpoint(fn)
+    x, gupd = fn(params, state, x)
+    upd.update(gupd)
+    return x
+
+
+def _fwd_cresnet(params, state, x, spec, train, cd, upd, plans=None,
+                 remat=False):
     preact = spec.block.startswith("preact")
     x = _pconv(plans, params, "conv1", x, 1, 1, 1, cd)
     if not preact:
         x = batch_norm(x, params, state, upd, "bn1", train)
         x = jax.nn.relu(x)
-    inp = 16
-    for g, planes in enumerate([16, 32, 64], start=1):
-        stride = 1 if g == 1 else 2
+
+    def group_fn(params, state, x, g, stride):
+        upd: State = {}
         for b in range(spec.layers[g - 1]):
             name = f"layer{g}.{b}"
             s = stride if b == 0 else 1
@@ -330,7 +344,14 @@ def _fwd_cresnet(params, state, x, spec, train, cd, upd, plans=None):
                         residual, params, state, upd, f"{name}.downsample.1", train
                     )
                 x = jax.nn.relu(out + residual)
-            inp = planes * exp
+        return x, upd
+
+    for g in (1, 2, 3):
+        x = _group(
+            upd, remat,
+            partial(group_fn, g=g, stride=1 if g == 1 else 2),
+            params, state, x,
+        )
     if preact:
         x = batch_norm(x, params, state, upd, "bn", train)
         x = jax.nn.relu(x)
@@ -374,12 +395,13 @@ def _init_tvresnet(spec: CifarSpec, I: _Init):
     I.linear("fc", 512 * exp, spec.num_classes)
 
 
-def _fwd_tvresnet(params, state, x, spec, train, cd, upd, plans=None):
-    exp = 4 if spec.block == "bottleneck" else 1
+def _fwd_tvresnet(params, state, x, spec, train, cd, upd, plans=None,
+                  remat=False):
     x = _pconv(plans, params, "conv1", x, 1, 1, 1, cd)
     x = jax.nn.relu(batch_norm(x, params, state, upd, "bn1", train))
-    for g, planes in enumerate([64, 128, 256, 512], start=1):
-        stride = 1 if g == 1 else 2
+
+    def group_fn(params, state, x, g, stride):
+        upd: State = {}
         for b in range(spec.layers[g - 1]):
             name = f"layer{g}.{b}"
             s = stride if b == 0 else 1
@@ -405,6 +427,14 @@ def _fwd_tvresnet(params, state, x, spec, train, cd, upd, plans=None):
                     residual, params, state, upd, f"{name}.downsample.1", train
                 )
             x = jax.nn.relu(out + residual)
+        return x, upd
+
+    for g in (1, 2, 3, 4):
+        x = _group(
+            upd, remat,
+            partial(group_fn, g=g, stride=1 if g == 1 else 2),
+            params, state, x,
+        )
     x = _global_avgpool(x)
     return linear(x, params, "fc", cd)
 
@@ -464,26 +494,43 @@ def _init_vgg(spec: CifarSpec, I: _Init):
         I.linear("classifier.3", f, spec.num_classes)
 
 
-def _fwd_vgg(params, state, x, spec, train, cd, upd, plans=None):
-    for kind, idx, cin, cout in _vgg_layout(spec):
-        name = f"features.{idx}"
-        if kind == "conv":
-            x = _pconv(plans, params, name, x, 1, 1, 1, cd)
-            x = x + params[f"{name}.bias"].astype(x.dtype)
-        elif kind == "bn":
-            x = batch_norm(x, params, state, upd, name, train)
-        elif kind == "relu":
-            x = jax.nn.relu(x)
-        elif kind == "pool":
-            x = _maxpool2(x)
-        elif kind == "rblock":
-            identity = x
-            out = _pconv(plans, params, f"{name}.conv1", x, 1, 1, 1, cd)
-            out = out + params[f"{name}.conv1.bias"].astype(out.dtype)
-            out = batch_norm(out, params, state, upd, f"{name}.bn1", train)
-            if spec.rvgg_res and cin == cout:
-                out = out + identity
-            x = jax.nn.relu(out)
+def _fwd_vgg(params, state, x, spec, train, cd, upd, plans=None,
+             remat=False):
+    # remat groups = the segments between maxpools (the natural "stage"
+    # boundary of the VGG stack: each pool halves the live activation)
+    segments: list[list] = [[]]
+    for item in _vgg_layout(spec):
+        segments[-1].append(item)
+        if item[0] == "pool":
+            segments.append([])
+
+    def seg_fn(params, state, x, items):
+        upd: State = {}
+        for kind, idx, cin, cout in items:
+            name = f"features.{idx}"
+            if kind == "conv":
+                x = _pconv(plans, params, name, x, 1, 1, 1, cd)
+                x = x + params[f"{name}.bias"].astype(x.dtype)
+            elif kind == "bn":
+                x = batch_norm(x, params, state, upd, name, train)
+            elif kind == "relu":
+                x = jax.nn.relu(x)
+            elif kind == "pool":
+                x = _maxpool2(x)
+            elif kind == "rblock":
+                identity = x
+                out = _pconv(plans, params, f"{name}.conv1", x, 1, 1, 1, cd)
+                out = out + params[f"{name}.conv1.bias"].astype(out.dtype)
+                out = batch_norm(out, params, state, upd, f"{name}.bn1", train)
+                if spec.rvgg_res and cin == cout:
+                    out = out + identity
+                x = jax.nn.relu(out)
+        return x, upd
+
+    for items in segments:
+        if items:
+            x = _group(upd, remat, partial(seg_fn, items=items),
+                       params, state, x)
     x = _global_avgpool(x)
     if spec.family == "rvgg":
         x = jax.nn.relu(linear(x, params, "classifier.0", cd))
@@ -522,15 +569,13 @@ def _init_wrn(spec: CifarSpec, I: _Init):
     I.linear("linear", stages[3], spec.num_classes)
 
 
-def _fwd_wrn(params, state, x, spec, train, cd, upd, plans=None):
-    k = spec.widen
-    stages = [16, 16 * k, 32 * k, 64 * k]
+def _fwd_wrn(params, state, x, spec, train, cd, upd, plans=None,
+             remat=False):
     x = conv2d(x, params["conv1.weight"], 1, 1, 1, cd)
     x = x + params["conv1.bias"].astype(x.dtype)
-    inp = stages[0]
-    for g in range(1, 4):
-        planes = stages[g]
-        stride = 1 if g == 1 else 2
+
+    def group_fn(params, state, x, g, stride):
+        upd: State = {}
         for b in range(spec.layers[g - 1]):
             name = f"layer{g}.{b}"
             s = stride if b == 0 else 1
@@ -550,7 +595,14 @@ def _fwd_wrn(params, state, x, spec, train, cd, upd, plans=None):
             else:
                 sc = x
             x = out + sc
-            inp = planes
+        return x, upd
+
+    for g in (1, 2, 3):
+        x = _group(
+            upd, remat,
+            partial(group_fn, g=g, stride=1 if g == 1 else 2),
+            params, state, x,
+        )
     x = jax.nn.relu(batch_norm(x, params, state, upd, "bn1", train, momentum=0.9))
     x = _global_avgpool(x)
     return linear(x, params, "linear", cd)
@@ -593,18 +645,29 @@ def cifar_forward(
     train: bool = False,
     compute_dtype: Any = None,
     plans: dict | None = None,
+    remat: bool = False,
 ) -> tuple[jax.Array, State]:
     """Returns (logits, bn_updates).  x is NHWC.
 
     ``plans`` routes named convs through per-layer execution plans
     (int8 QuantConv / sparse kernels) — the classifier-side counterpart
     of the DRNSeg serving dispatch (rmbsnn_main.py:502-549 is the
-    reference's eval path this serves)."""
+    reference's eval path this serves).
+
+    ``remat=True`` checkpoints each stage-group (resnet layer1/2/3[/4],
+    VGG pool-to-pool segment): under autodiff only group-boundary
+    activations stay live and group internals are recomputed in the
+    backward pass — same exact FLOPs-for-HBM trade as the DRN backbone's
+    per-stage remat.  Conv-led groups are bitwise identical to the
+    non-remat step; groups that START with a BatchNorm on the group input
+    (preact, wrn) differ at float-rounding level (~1e-9) because XLA
+    schedules the recomputed BN backward differently
+    (tests/test_remat.py covers both contracts)."""
     upd: State = {}
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     logits = _FWD[spec.family](
-        params, state, x, spec, train, compute_dtype, upd, plans
+        params, state, x, spec, train, compute_dtype, upd, plans, remat
     )
     return logits, upd
 

@@ -116,6 +116,7 @@ SERVING_MATRIX: list[tuple[str, float]] = [
     ("drn_d_22", 0.50),
     ("drn_d_22", 0.75),
     ("drn_d_22", 0.875),
+    ("drn_d_38", 0.875),
     ("drn_d_54", 0.875),
 ]
 
@@ -192,6 +193,7 @@ REGULAR_MATRIX: list[tuple[str, float]] = [
     ("drn_d_22", 0.50),
     ("drn_d_22", 0.75),
     ("drn_d_22", 0.875),
+    ("drn_d_38", 0.875),
     ("drn_d_54", 0.875),
 ]
 

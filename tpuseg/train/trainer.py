@@ -124,23 +124,29 @@ def make_seg_train_step(
     return train_step
 
 
-def classifier_forward(spec, compute_dtype=None) -> Callable:
+def classifier_forward(spec, compute_dtype=None, remat: bool = False) -> Callable:
     """Uniform classifier forward ``(params, bn_state, x, train) ->
-    (logits, bn_updates)`` for DRN and CIFAR-zoo specs."""
+    (logits, bn_updates)`` for DRN and CIFAR-zoo specs.
+
+    ``remat=True`` checkpoints each backbone stage (DRN) / stage-group
+    (CIFAR zoo) — see make_seg_train_step's remat note; the trade and the
+    exactness contract are identical."""
     from tpuseg.models.cifar import CifarSpec, cifar_forward
 
     if isinstance(spec, CifarSpec):
 
         def fwd(params, bn_state, x, train=False):
             return cifar_forward(
-                params, bn_state, x, spec, train=train, compute_dtype=compute_dtype
+                params, bn_state, x, spec, train=train,
+                compute_dtype=compute_dtype, remat=remat,
             )
 
     else:
 
         def fwd(params, bn_state, x, train=False):
             logits, _, updates = drn_forward(
-                params, bn_state, x, spec, train=train, compute_dtype=compute_dtype
+                params, bn_state, x, spec, train=train,
+                compute_dtype=compute_dtype, remat=remat,
             )
             return logits, updates
 
@@ -155,6 +161,7 @@ def make_cls_train_step(
     kd_student_wt: float = 0.5,
     kd_distill_wt: float = 0.5,
     kd_temperature: float = 4.0,
+    remat: bool = False,
 ) -> Callable:
     """Classification train step with optional knowledge distillation
     (parity with rmbsnn_main.train, :432-500).  ``spec`` may be a DrnSpec or
@@ -162,8 +169,11 @@ def make_cls_train_step(
 
     ``teacher`` is ``(forward_fn, params, bn_state)`` where ``forward_fn``
     maps ``(params, bn_state, images) -> logits``.
+
+    ``remat`` checkpoints the STUDENT forward's stages (the teacher runs
+    under stop_gradient — no activations are saved for it either way).
     """
-    fwd = classifier_forward(spec, compute_dtype)
+    fwd = classifier_forward(spec, compute_dtype, remat=remat)
 
     def loss_fn(params, bn_state, images, labels):
         logits, updates = fwd(params, bn_state, images, train=True)
