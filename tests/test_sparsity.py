@@ -387,6 +387,28 @@ def test_grouping_block_diagonal():
     assert m.sum() == 8 * 2 * 1 * 3
 
 
+def test_prunable_layers_drn_fallback():
+    """Unlisted drn_* archs inherit the shared DRN exclusion set (stem,
+    classifier, seg head, upsampler) — a missing NON_RBGP entry must not
+    silently make everything prunable (the drn_d_38 stem emitted a config
+    its own masker rejects before this fallback existed)."""
+    from tpuseg.cli.expander_batch import prunable_layers
+
+    params = {
+        "layer.0.0.weight": np.zeros((7, 7, 3, 16)),
+        "layer.3.0.conv1.weight": np.zeros((3, 3, 64, 128)),
+        "seg.weight": np.zeros((1, 1, 512, 19)),
+        "up.weight": np.zeros((16, 16, 19, 19)),
+        "fc.weight": np.zeros((512, 10)),
+        "layer.3.0.bn1.weight": np.zeros((128,)),  # not a conv/fc
+    }
+    for arch in ("drn_d_38", "drn_d_24_nonexistent"):
+        assert prunable_layers(params, arch) == ["layer.3.0.conv1.weight"]
+    # non-DRN unlisted archs keep the permissive default
+    got = prunable_layers(params, "some_cifar_arch")
+    assert "layer.0.0.weight" in got and "fc.weight" in got
+
+
 @pytest.mark.slow
 def test_all_vendored_configs_apply():
     """Every vendored optimal_configs JSON (the full matrix tpuseg ships —
@@ -408,7 +430,7 @@ def test_all_vendored_configs_apply():
     seen = 0
     for arch, n_layers, n_serving, n_reg in (
         ("drn_d_22", 24, 12, 15),
-        ("drn_d_38", None, 22, 29),
+        ("drn_d_38", 40, 22, 29),
         ("drn_d_54", 56, 40, 44),
     ):
         params, _state, _spec = init_drnseg(0, arch, 19)
@@ -448,7 +470,7 @@ def test_all_vendored_configs_apply():
                 assert len(masks) == n_layers, f
                 for layer, sp in stats.items():
                     assert abs(sp - want) < 1e-6, (f, layer, sp)
-    assert seen == 22
+    assert seen == 23
 
 
 @pytest.mark.slow

@@ -98,3 +98,32 @@ def test_profiling_trace_and_cost_analysis(tmp_path):
         lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64))
     )
     assert cost.get("flops", 0) > 0
+
+
+@pytest.mark.slow
+def test_remat_mem_analysis_keys():
+    """tools.remat_mem's compiler memory analysis returns the documented
+    keys with sane values on any backend (the RATIO is only meaningful on
+    the TPU compiler — CPU buffer assignment reports identical temp with
+    and without remat, measured; see PERF_NOTES round-4 cont. B for the
+    on-chip numbers)."""
+    import jax.numpy as jnp
+
+    from tpuseg.models.cifar import create_cifar_model
+    from tpuseg.tools.remat_mem import _abstract, _analyze
+    from tpuseg.train import create_train_state, make_cls_train_step, make_sgd
+
+    params, state, spec = create_cifar_model(0, "cifar_resnet20", 10)
+    tx = make_sgd(0.1)
+    ts = create_train_state(params, state, tx)
+    images = np.zeros((4, 32, 32, 3), np.float32)
+    labels = np.zeros((4,), np.int32)
+    for remat in (False, True):
+        step = make_cls_train_step(spec, tx, compute_dtype=jnp.bfloat16,
+                                   remat=remat)
+        mem = _analyze(step, _abstract(ts), _abstract(images),
+                       _abstract(labels))
+        assert mem is not None
+        assert set(mem) == {"temp_mb", "arg_mb", "out_mb", "alias_mb"}
+        # params + opt state alone are >0.5 MB; args must reflect that
+        assert mem["arg_mb"] > 0.5 and mem["temp_mb"] >= 0

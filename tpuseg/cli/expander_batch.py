@@ -23,9 +23,10 @@ from os.path import join
 import numpy as np
 
 # first/last layers never pruned, per arch family (expander_batch.py:27-43)
+_DRN_NON_RBGP = ["layer.0.0", "fc", "seg", "up"]
 NON_RBGP = {
-    "drn_d_22": ["layer.0.0", "fc", "seg", "up"],
-    "drn_d_54": ["layer.0.0", "fc", "seg", "up"],
+    "drn_d_22": _DRN_NON_RBGP,
+    "drn_d_54": _DRN_NON_RBGP,
     "cifar_resnet20": ["conv1", "fc"],
     "cifar_resnet18": ["conv1", "fc"],
     "cifar_vgg19_bn": ["features.0", "classifier.3"],
@@ -39,8 +40,15 @@ NON_RBGP = {
 
 
 def prunable_layers(params: dict, arch: str) -> list[str]:
-    """Conv/FC weights minus the excluded first/last layers."""
-    excluded = NON_RBGP.get(arch, [])
+    """Conv/FC weights minus the excluded first/last layers.
+
+    Every DRN variant shares the same exclusion set (stem, classifier,
+    seg head, upsampler) — falling back to it for unlisted drn_* archs
+    keeps e.g. drn_d_38 from emitting a stem entry its own masker
+    rejects ((16,147) collapsed stem: 147 cols can't host a RAMANUJAN
+    inner pattern)."""
+    excluded = NON_RBGP.get(
+        arch, _DRN_NON_RBGP if arch.startswith("drn_") else [])
     out = []
     for name, v in params.items():
         if not name.endswith(".weight"):

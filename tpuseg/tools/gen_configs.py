@@ -59,6 +59,11 @@ MATRIX: list[tuple[str, str, float]] = [
     ("drn_d_54", "512X512", 0.50),
     ("drn_d_54", "512X512", 0.75),
     ("drn_d_54", "1024X768", 0.50),
+    # beyond the reference's shipped set: the reference vendors a
+    # drn_d_38 accuracy checkpoint (.MISSING_LARGE_BLOBS) but no d38
+    # sparse configs; tpuseg covers the arch so the compression research
+    # loop (tools/trained_fidelity --stage compress) runs on it too
+    ("drn_d_38", "512X512", 0.50),
 ]
 
 
