@@ -132,8 +132,10 @@ def test_seg_video_pruned_serving(capsys):
         ),
     ])
     out = capsys.readouterr().out.strip().splitlines()
-    plans_line = _json.loads(out[-2])
-    result = _json.loads(out[-1])
+    lines = [_json.loads(ln) for ln in out if ln.startswith("{")]
+    plans_line = next(
+        ln for ln in lines if ln.get("event") == "sparse_plans")
+    result = lines[-1]
     assert plans_line["total_masked"] == 24
     assert result["frames"] == 4
 
