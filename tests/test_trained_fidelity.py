@@ -25,15 +25,27 @@ def test_all_stages_smoke(tmp_path):
     main(["--stage", "fidelity", "--modes", "yuv420,temporal2"] + args)
     main(["--stage", "fidelity", "--modes", "budget,int8_dynamic"] + args)
     main(["--stage", "compress"] + args)
+    main(["--stage", "compose", "--modes", "sparse_budget"] + args)
     with open(os.path.join(out, "report.json")) as fh:
         rows = json.load(fh)
     stages = [r["stage"] for r in rows]
-    assert stages == ["train", "fidelity", "compress"]
+    assert stages == ["train", "fidelity", "compress", "compose"]
     fid = rows[1]
     assert fid["modes"]["exact"]["ids_agreement_vs_exact"] == 1.0
     assert {"yuv420", "temporal2", "budget", "int8_dynamic"} <= set(
         fid["modes"])  # partial runs merged
     assert 0 <= rows[2]["rbgp_50"]["miou_at_mask"] <= 100
+    comp = rows[3]["modes"]
+    # the two baselines always run; sparse_exact is its own agreement ref
+    assert {"sparse_exact", "dense_exact", "sparse_budget"} == set(comp)
+    assert comp["sparse_exact"]["ids_agreement_vs_sparse_exact"] == 1.0
+    assert 0 <= comp["dense_exact"]["gt_miou"] <= 100
+    # recovered checkpoint is cached: re-running compose must NOT retrain
+    ck = os.path.join(out, "drn_d_22_shapes_block128reg.npz")
+    assert os.path.exists(ck)
+    mtime = os.path.getmtime(ck)
+    main(["--stage", "compose", "--modes", "sparse_budget"] + args)
+    assert os.path.getmtime(ck) == mtime
     # idempotent replace
     main(["--stage", "train"] + args)
     with open(os.path.join(out, "report.json")) as fh:

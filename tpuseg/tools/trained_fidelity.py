@@ -25,6 +25,13 @@ Stages (``--stage all`` runs them in order, each appends to
                (semantic_seg.py:1070-1097): dense vs RBGP-50% (vendored
                config) vs magnitude-unstructured-50%, accuracy at mask
                time and a retrain recovery curve
+- ``compose``  full-stack serving composition on RECOVERED sparse weights:
+               recover the vendored block128reg 87.5% geometry (cached
+               checkpoint), then serve it through the real pipeline
+               (gathered-exact sparse plans, as `seg_video
+               --pr-config-path`) composed with int8 PTQ and budgeted
+               temporal — GT mIoU per composed mode next to the dense
+               trained baseline
 - ``cls``      the rmbsnn arm (rmbsnn_main.py:396-428): cifar_resnet20
                teacher on synthetic CIFAR, RBGP-pruned student retrained
                with and without knowledge distillation
@@ -51,14 +58,18 @@ def _append_report(out: str, entry: dict) -> None:
     if os.path.exists(path):
         with open(path) as fh:
             rows = json.load(fh)
-    prev = next(
-        (r for r in rows if r.get("stage") == entry.get("stage")), None
-    )
+    # rows are keyed by (stage, arch): multi-arch sweeps into one out dir
+    # must not clobber each other's entries
+    def same(r):
+        return (r.get("stage") == entry.get("stage")
+                and r.get("arch") == entry.get("arch"))
+
+    prev = next((r for r in rows if same(r)), None)
     if prev and isinstance(prev.get("modes"), dict) and "modes" in entry:
         # partial fidelity runs (--modes / backend-gated int8) merge into
         # the existing mode matrix instead of clobbering it
         entry = {**prev, **entry, "modes": {**prev["modes"], **entry["modes"]}}
-    rows = [r for r in rows if r.get("stage") != entry.get("stage")]
+    rows = [r for r in rows if not same(r)]
     rows.append(entry)
     os.makedirs(out, exist_ok=True)
     tmp = path + ".tmp"
@@ -224,6 +235,24 @@ def _gt_miou_from_ids(ids: list[np.ndarray], labels: np.ndarray) -> float:
     return float(miou_from_hist(hist))
 
 
+def _drift_thresh(frames: np.ndarray) -> tuple[float, float]:
+    """Drift scale of THIS video (host-side mean |delta| between consecutive
+    frames, same metric the device scan uses) -> (threshold between the
+    sensor-noise floor and the motion signal, mean |delta|)."""
+    deltas = np.stack(
+        [
+            np.abs(
+                frames[i + 1].astype(np.int16) - frames[i].astype(np.int16)
+            ).mean()
+            for i in range(len(frames) - 1)
+        ]
+    )
+    thresh = float(
+        np.percentile(deltas, 25) * 0.5 + np.percentile(deltas, 75) * 0.5
+    )
+    return thresh, float(deltas.mean())
+
+
 def stage_fidelity(args) -> None:
     import jax
 
@@ -239,18 +268,7 @@ def stage_fidelity(args) -> None:
     )
     frame_list = list(frames)
 
-    # drift scale of THIS video (host-side mean |delta| between consecutive
-    # frames, same metric the device scan uses) -> threshold between the
-    # sensor-noise floor and the motion signal
-    deltas = np.stack(
-        [
-            np.abs(
-                frames[i + 1].astype(np.int16) - frames[i].astype(np.int16)
-            ).mean()
-            for i in range(len(frames) - 1)
-        ]
-    )
-    thresh = float(np.percentile(deltas, 25) * 0.5 + np.percentile(deltas, 75) * 0.5)
+    thresh, drift_mean = _drift_thresh(frames)
 
     def run_mode(**kw):
         seg = VideoSegmenter(
@@ -334,7 +352,7 @@ def stage_fidelity(args) -> None:
                 "frames": args.video_frames,
                 "size": [h, w],
                 "speed_px_per_frame": args.speed,
-                "drift_mean_abs_delta": round(float(deltas.mean()), 2),
+                "drift_mean_abs_delta": round(drift_mean, 2),
                 "thresh_used": round(thresh, 2),
             },
             "modes": rows,
@@ -424,6 +442,175 @@ def stage_compress(args) -> None:
         args.out,
         {"stage": "compress", "arch": args.arch,
          "weights": "trained-on-shapes", **results},
+    )
+
+
+def stage_compose(args) -> None:
+    """Full-stack serving composition on RECOVERED sparse weights.
+
+    The README's composed-throughput row (block128reg 87.5% + int8 +
+    budgeted temporal, 583 fps device rate) carries an agreement number
+    measured against its own exact run — this stage pins the GROUND-TRUTH
+    mIoU of that exact configuration chain on accuracy-bearing weights:
+    recover the vendored block128reg geometry from the trained checkpoint
+    (masked fine-tune, cached at <out>/<arch>_shapes_block128reg.npz), then
+    serve it through the real pipeline (gathered-exact sparse plans, the
+    same build as `seg_video --pr-config-path`) composed with int8 PTQ and
+    budgeted temporal reuse, next to the dense trained baseline.
+
+    The sparse lowering itself is bit-exactness-TESTED (tests/
+    test_gathered_conv.py), so `sparse_exact` vs `dense_exact` isolates the
+    mask's accuracy cost and the int8/temporal rows isolate each
+    approximation's cost on top — per-row GT mIoU, no random-weights
+    caveat anywhere in the chain.
+    """
+    import jax
+
+    from tpuseg.models.sparse_exec import build_sparse_plans
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.quant import ids_agreement
+    from tpuseg.sparsity import create_masker
+    from tpuseg.sparsity.base import apply_masks
+    from tpuseg.train import load_checkpoint, save_checkpoint
+    from tpuseg.video.pipeline import VideoSegmenter
+
+    params, bn_state, spec, _meta = _load_trained(args)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    regular_cfg = os.path.join(
+        repo_root, "optimal_configs", args.arch,
+        f"{args.arch}_block128reg_87.50.json",
+    )
+    rec_ckpt = os.path.join(args.out, f"{args.arch}_shapes_block128reg.npz")
+    if os.path.exists(rec_ckpt):
+        r_params, r_bn, masks, _opt, rec_meta = load_checkpoint(rec_ckpt)
+        print(f"compose: reusing recovered checkpoint {rec_ckpt} "
+              f"(recovered mIoU {rec_meta.get('miou_recovered')})")
+    else:
+        # magnitude masks from the TRAINED weights (same build as
+        # stage_compress's block128reg_87.5 variant), then masked fine-tune
+        masks = create_masker(
+            regular_cfg, seed=args.seed).generate_masks(params)
+        masked = apply_masks(
+            {k: np.asarray(v) for k, v in params.items()},
+            {k: np.asarray(v) for k, v in masks.items()},
+        )
+        r_params, r_bn, curve = _train_seg_model(
+            masked,
+            bn_state,
+            spec,
+            masks=masks,
+            steps=args.recover_steps,
+            size=(args.train_size, args.train_size),
+            batch=args.batch,
+            lr=args.lr * 0.2,
+            target_miou=None,
+            eval_every=args.eval_every,
+            seed=args.seed + 3,
+            log_prefix="compose-recover",
+        )
+        rec_meta = {"miou_recovered": curve[-1][1] if curve else None,
+                    "recover_steps": args.recover_steps}
+        # masks ride along so serving reconstructs the EXACT recovery
+        # geometry (magnitude masks regenerated from recovered weights
+        # would differ)
+        save_checkpoint(rec_ckpt, r_params, r_bn, masks=masks,
+                        meta=rec_meta)
+
+    folded = fold_bn(
+        {k: np.asarray(v) for k, v in r_params.items()},
+        {k: np.asarray(v) for k, v in r_bn.items()},
+        spec,
+    )
+    plans, report = build_sparse_plans(
+        folded,
+        {k: np.asarray(v) for k, v in masks.items()},
+        spec,
+        lowering="gathered",
+        gathered_mode="exact",
+    )
+    n_sparse = sum(1 for v in report.values() if not v.startswith("dense"))
+    print(f"compose: {n_sparse}/{len(report)} masked convs on the "
+          "gathered-exact lowering")
+
+    mean, std = _shapes_stats()
+    h = args.train_size
+    w = 2 * h
+    frames, labels = shapes.shapes_video(
+        args.video_frames, (h, w), seed=args.seed + 2, speed=args.speed
+    )
+    frame_list = list(frames)
+    thresh, drift_mean = _drift_thresh(frames)
+    budget = dict(temporal_thresh=thresh,
+                  temporal_budget=max(1, args.serve_batch // 4))
+
+    def run_mode(p, bn, plans_, **kw):
+        seg = VideoSegmenter(
+            dict(p), dict(bn), spec, mean, std,
+            batch=args.serve_batch, exec_plans=plans_, **kw,
+        )
+        return seg.run(frame_list, need_color=False)["ids"]
+
+    calib = frames[:8]
+    modes: dict[str, tuple] = {
+        # (params, bn, plans, VideoSegmenter kwargs) — sparse_exact runs
+        # first: it is the agreement baseline for every other row
+        "sparse_exact": (r_params, r_bn, plans, {}),
+        "dense_exact": (params, bn_state, None, {}),
+        "sparse_budget": (r_params, r_bn, plans, dict(budget)),
+        "sparse_int8": (r_params, r_bn, plans,
+                        dict(quantize=True, calib_frames=calib)),
+        "sparse_int8_budget": (r_params, r_bn, plans,
+                               dict(budget, quantize=True,
+                                    calib_frames=calib)),
+    }
+    if args.modes:
+        keep = {m.strip() for m in args.modes.split(",")}
+        keep.update(("dense_exact", "sparse_exact"))  # the two baselines
+        modes = {k: v for k, v in modes.items() if k in keep}
+    elif jax.default_backend() == "cpu":
+        # same gate as stage_fidelity: XLA-CPU's naive int8 conv lowering
+        dropped = [k for k in modes if "int8" in k]
+        modes = {k: v for k, v in modes.items() if "int8" not in k}
+        if dropped:
+            print(f"compose: skipping {dropped} on the CPU backend "
+                  "(naive int8 conv lowering; run on TPU or force with "
+                  "--modes)")
+    sparse_exact_ids = None
+    rows = {}
+    for name, (p, bn, plans_, kw) in modes.items():
+        t0 = time.time()
+        ids = run_mode(p, bn, plans_, **kw)
+        if name == "sparse_exact":
+            sparse_exact_ids = ids
+        n = min(len(ids), len(labels))
+        row = {"gt_miou": round(_gt_miou_from_ids(ids[:n], labels[:n]), 4),
+               "wall_s": round(time.time() - t0, 1)}
+        if sparse_exact_ids is not None:
+            m = min(len(ids), len(sparse_exact_ids))
+            row["ids_agreement_vs_sparse_exact"] = round(
+                ids_agreement(np.stack(ids[:m]),
+                              np.stack(sparse_exact_ids[:m])), 4)
+        rows[name] = row
+        print(f"compose {name}: {row}")
+    _append_report(
+        args.out,
+        {
+            "stage": "compose",
+            "arch": args.arch,
+            "weights": "trained-on-shapes, block128reg_87.5 recovered "
+                       f"({rec_meta.get('miou_recovered')} mIoU at save)",
+            "geometry": os.path.basename(regular_cfg),
+            "video": {
+                "frames": args.video_frames,
+                "size": [h, w],
+                "speed_px_per_frame": args.speed,
+                "drift_mean_abs_delta": round(drift_mean, 2),
+                "thresh_used": round(thresh, 2),
+            },
+            "modes": rows,
+        },
     )
 
 
@@ -527,7 +714,8 @@ def main(argv=None):
         pass
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--stage", default="all",
-                   choices=["train", "fidelity", "compress", "cls", "all"])
+                   choices=["train", "fidelity", "compress", "compose",
+                            "cls", "all"])
     p.add_argument("--out", default="runs/fidelity")
     p.add_argument("--arch", default="drn_d_22")
     p.add_argument("--train-size", type=int, default=128)
@@ -552,13 +740,14 @@ def main(argv=None):
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     stages = (
-        ["train", "fidelity", "compress", "cls"]
+        ["train", "fidelity", "compress", "compose", "cls"]
         if args.stage == "all"
         else [args.stage]
     )
     for s in stages:
         {"train": stage_train, "fidelity": stage_fidelity,
-         "compress": stage_compress, "cls": stage_cls}[s](args)
+         "compress": stage_compress, "compose": stage_compose,
+         "cls": stage_cls}[s](args)
 
 
 if __name__ == "__main__":
