@@ -26,10 +26,17 @@ def test_all_stages_smoke(tmp_path):
     main(["--stage", "fidelity", "--modes", "budget,int8_dynamic"] + args)
     main(["--stage", "compress"] + args)
     main(["--stage", "compose", "--modes", "sparse_budget"] + args)
+    main(["--stage", "budget_curve", "--budget-ks", "1,2",
+          "--speeds", "2.0"] + args)
     with open(os.path.join(out, "report.json")) as fh:
         rows = json.load(fh)
     stages = [r["stage"] for r in rows]
-    assert stages == ["train", "fidelity", "compress", "compose"]
+    assert stages == ["train", "fidelity", "compress", "compose",
+                      "budget_curve"]
+    curve = rows[4]["curves"]["speed=2.0"]["points"]
+    assert set(curve) == {"exact", "K=1", "K=2"}
+    assert curve["K=1"]["max_refresh_fraction"] == 0.5  # serve_batch=2
+    assert 0 <= curve["K=1"]["gt_miou"] <= 100
     fid = rows[1]
     assert fid["modes"]["exact"]["ids_agreement_vs_exact"] == 1.0
     assert {"yuv420", "temporal2", "budget", "int8_dynamic"} <= set(

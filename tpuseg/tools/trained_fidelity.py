@@ -32,6 +32,10 @@ Stages (``--stage all`` runs them in order, each appends to
                --pr-config-path`) composed with int8 PTQ and budgeted
                temporal — GT mIoU per composed mode next to the dense
                trained baseline
+- ``budget_curve`` (opt-in, not part of ``all``) the GT-mIoU-vs-refresh-
+               budget tradeoff surface for the budgeted temporal mode:
+               exact baseline + budgeted at each K in ``--budget-ks``,
+               for each drift speed in ``--speeds``
 - ``cls``      the rmbsnn arm (rmbsnn_main.py:396-428): cifar_resnet20
                teacher on synthetic CIFAR, RBGP-pruned student retrained
                with and without knowledge distillation
@@ -614,6 +618,88 @@ def stage_compose(args) -> None:
     )
 
 
+def stage_budget_curve(args) -> None:
+    """GT-mIoU-vs-refresh-budget tradeoff surface for budgeted temporal.
+
+    The per-axis fidelity matrix prices the budgeted mode at ONE point
+    (K = serve_batch/4 on a 4 px/frame video: −30 GT mIoU, deliberately
+    the worst case).  A single point invites the wrong conclusion
+    ("temporal reuse is unusable on trained weights"); the real contract
+    is a tunable curve — the budgeted program forwards exactly K of B
+    frames per batch, so device compute scales ~K/B while accuracy
+    degrades with the staleness the budget admits, which is a property
+    of the CONTENT's drift rate, not of the model.  This stage measures
+    that surface: for each drift speed in ``--speeds``, build the video,
+    run the exact baseline once, then the budgeted mode at every K in
+    ``--budget-ks`` — GT mIoU + ids agreement per (speed, K) point.
+
+    This is the curve a deployment consults before enabling reuse (the
+    per-video analog of `seg_video --temporal-report`); the reference's
+    serving loop (`/root/reference/seg_video.py:280-285`) is the exact
+    row.  Note K/B is the MAXIMUM refresh fraction: the budget program
+    is threshold-gated first, so even K=B reuses sub-threshold frames
+    (pure content-adaptive mode) and lands slightly below exact.
+    """
+    from tpuseg.ops.quant import ids_agreement
+    from tpuseg.video.pipeline import VideoSegmenter
+
+    params, bn_state, spec, _meta = _load_trained(args)
+    mean, std = _shapes_stats()
+    h = args.train_size
+    w = 2 * h
+    ks = [int(k) for k in args.budget_ks.split(",")]
+    assert all(0 < k <= args.serve_batch for k in ks), (
+        f"--budget-ks entries must be in 1..{args.serve_batch}"
+    )
+    speeds = [float(s) for s in args.speeds.split(",")]
+
+    def run_mode(frame_list, **kw):
+        seg = VideoSegmenter(
+            dict(params), dict(bn_state), spec, mean, std,
+            batch=args.serve_batch, **kw,
+        )
+        return seg.run(frame_list, need_color=False)["ids"]
+
+    curves = {}
+    for speed in speeds:
+        frames, labels = shapes.shapes_video(
+            args.video_frames, (h, w), seed=args.seed + 2, speed=speed
+        )
+        frame_list = list(frames)
+        thresh, drift_mean = _drift_thresh(frames)
+        exact_ids = run_mode(frame_list)
+        n = min(len(exact_ids), len(labels))
+        exact_miou = round(_gt_miou_from_ids(exact_ids[:n], labels[:n]), 4)
+        points = {"exact": {"gt_miou": exact_miou, "max_refresh_fraction": 1.0}}
+        print(f"budget_curve speed={speed}: exact {points['exact']}")
+        for k in ks:
+            ids = run_mode(frame_list, temporal_thresh=thresh,
+                           temporal_budget=k)
+            m = min(len(ids), len(exact_ids), len(labels))
+            points[f"K={k}"] = {
+                "gt_miou": round(_gt_miou_from_ids(ids[:m], labels[:m]), 4),
+                "ids_agreement_vs_exact": round(
+                    ids_agreement(np.stack(ids[:m]),
+                                  np.stack(exact_ids[:m])), 4),
+                "max_refresh_fraction": round(k / args.serve_batch, 4),
+            }
+            print(f"budget_curve speed={speed}: K={k} {points[f'K={k}']}")
+        curves[f"speed={speed}"] = {
+            "drift_mean_abs_delta": round(drift_mean, 2),
+            "thresh_used": round(thresh, 2),
+            "points": points,
+        }
+    _append_report(
+        args.out,
+        {"stage": "budget_curve", "arch": args.arch,
+         "weights": "trained-on-shapes (dense; compose showed the "
+                    "temporal cost is weight-path-invariant)",
+         "video": {"frames": args.video_frames, "size": [h, w],
+                   "serve_batch": args.serve_batch},
+         "curves": curves},
+    )
+
+
 def stage_cls(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -715,7 +801,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--stage", default="all",
                    choices=["train", "fidelity", "compress", "compose",
-                            "cls", "all"])
+                            "budget_curve", "cls", "all"])
     p.add_argument("--out", default="runs/fidelity")
     p.add_argument("--arch", default="drn_d_22")
     p.add_argument("--train-size", type=int, default=128)
@@ -736,6 +822,12 @@ def main(argv=None):
     p.add_argument("--modes", default=None,
                    help="comma list restricting the fidelity mode matrix "
                         "(exact always runs as the baseline)")
+    p.add_argument("--budget-ks", default="1,2,4",
+                   help="budget_curve stage: comma list of refresh budgets "
+                        "K (frames forwarded per serve batch)")
+    p.add_argument("--speeds", default="1.0,4.0",
+                   help="budget_curve stage: comma list of drift speeds "
+                        "(px/frame) to measure the curve at")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
@@ -747,7 +839,7 @@ def main(argv=None):
     for s in stages:
         {"train": stage_train, "fidelity": stage_fidelity,
          "compress": stage_compress, "compose": stage_compose,
-         "cls": stage_cls}[s](args)
+         "budget_curve": stage_budget_curve, "cls": stage_cls}[s](args)
 
 
 if __name__ == "__main__":
