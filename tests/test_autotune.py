@@ -1,0 +1,132 @@
+"""Agreement-targeted budgeted-temporal autotuning (tpuseg.video.autotune).
+
+The reference serves exact per-frame (`seg_video.py:280-285`); autotune is
+the control loop for tpuseg's temporal extension: pick the cheapest budget
+K meeting an ids-agreement floor, measured on a calibration prefix.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpuseg.video.autotune import autotune_budget, default_ladder
+
+
+class _FakeSeg:
+    def __init__(self, ids):
+        self._ids = ids
+
+    def run(self, frames, need_color=False):
+        return {"ids": list(self._ids)}
+
+
+def _fake_factory(exact_ids, agreement_by_k):
+    """make_segmenter stub: exact baseline returns exact_ids; budgeted
+    candidates return ids agreeing with exact at the given fraction."""
+    calls = []
+
+    def make(**kw):
+        if not kw:
+            return _FakeSeg(exact_ids)
+        k = kw["temporal_budget"]
+        calls.append(kw)
+        frac = agreement_by_k[k]
+        ids = [a.copy() for a in exact_ids]
+        flip = int(round((1 - frac) * ids[0].size))
+        for a in ids:
+            a.ravel()[:flip] ^= 1  # disagree on exactly `flip` pixels
+        return _FakeSeg(ids)
+
+    return make, calls
+
+
+def test_autotune_picks_cheapest_qualifying():
+    rng = np.random.default_rng(0)
+    exact = [rng.integers(0, 2, (16, 16)).astype(np.int32) for _ in range(8)]
+    make, calls = _fake_factory(exact, {1: 0.80, 2: 0.90, 4: 0.98, 6: 0.99})
+    res = autotune_budget(
+        make, [np.zeros((16, 16, 3), np.uint8) + i * 5 for i in range(8)],
+        target_agreement=0.95, batch=8, ks=[1, 2, 4, 6],
+    )
+    assert res["temporal_budget"] == 4  # first K meeting the floor
+    # ascending ladder, stops at the first qualifying candidate
+    assert [r["budget"] for r in res["table"]] == [1, 2, 4]
+    assert res["table"][-1]["agreement"] >= 0.95
+    assert all(kw["temporal_thresh"] == res["temporal_thresh"]
+               for kw in calls)
+    assert res["calib_frames"] == 8
+
+
+def test_autotune_falls_back_to_exact():
+    exact = [np.zeros((8, 8), np.int32) for _ in range(4)]
+    make, _ = _fake_factory(exact, {1: 0.5, 2: 0.6})
+    res = autotune_budget(
+        make, [np.full((8, 8, 3), i, np.uint8) for i in range(4)],
+        target_agreement=0.99, batch=4, ks=[1, 2],
+    )
+    assert res["temporal_budget"] is None  # nothing met the floor
+    assert len(res["table"]) == 2  # the whole ladder was measured
+
+
+def test_default_ladder():
+    assert default_ladder(32) == [4, 8, 16, 24]
+    assert default_ladder(8) == [1, 2, 4, 6]
+    assert default_ladder(2) == [1]
+    assert default_ladder(1) == [1]
+
+
+def test_autotune_validates_inputs():
+    exact = [np.zeros((8, 8), np.int32) for _ in range(4)]
+    make, _ = _fake_factory(exact, {})
+    frames = [np.zeros((8, 8, 3), np.uint8) for _ in range(4)]
+    with pytest.raises(ValueError):
+        autotune_budget(make, frames[:1], target_agreement=0.9, batch=4)
+    with pytest.raises(ValueError):
+        autotune_budget(make, frames, target_agreement=0.9, batch=4,
+                        ks=[0, 2])
+
+
+def test_cli_autotune_serves_with_choice(capsys):
+    """seg_video --temporal-autotune: a trivially-met floor picks the
+    cheapest ladder K and the stream is served budgeted with it."""
+    from tpuseg.cli.seg_video import main
+
+    main(["--video", "shapes:7", "--size", "64x64", "--frames", "8",
+          "--batch", "4", "--temporal-autotune", "0.0",
+          "--autotune-frames", "4"])
+    out = capsys.readouterr().out.strip().splitlines()
+    event = next(json.loads(l) for l in out
+                 if '"temporal_autotune"' in l)
+    assert event["temporal_budget"] == 1  # cheapest ladder point, floor 0.0
+    assert event["table"][0]["budget"] == 1
+    result = json.loads(out[-1])
+    assert result["frames"] == 8
+    assert result["autotune_budget"] == 1
+    assert result["temporal_budget"] == 1
+    assert result["temporal_thresh"] == event["temporal_thresh"]
+    assert 0.0 < result["promotion_rate"] <= 1.0
+
+
+def test_cli_autotune_fallback_exact(capsys):
+    """An unreachable floor (>1.0) must fall back to exact serving."""
+    from tpuseg.cli.seg_video import main
+
+    main(["--video", "shapes:7", "--size", "64x64", "--frames", "8",
+          "--batch", "4", "--temporal-autotune", "1.01",
+          "--autotune-frames", "4"])
+    out = capsys.readouterr().out.strip().splitlines()
+    result = json.loads(out[-1])
+    assert result["autotune_budget"] is None
+    assert "temporal_budget" not in result  # exact serving
+    assert "promotion_rate" not in result
+    assert result["frames"] == 8
+
+
+def test_cli_autotune_flag_conflicts():
+    from tpuseg.cli.seg_video import main
+
+    with pytest.raises(SystemExit, match="autotune"):
+        main(["--video", "shapes:7", "--size", "64x64", "--frames", "4",
+              "--batch", "2", "--temporal-autotune", "0.9",
+              "--temporal", "2"])

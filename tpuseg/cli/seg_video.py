@@ -160,6 +160,24 @@ def parse_args(argv=None):
                         "forward serves them (static compute at batched "
                         "MXU efficiency, ~batch/K x the full rate); "
                         "beyond-budget changes promote next batch")
+    p.add_argument("--temporal-autotune", type=float, default=None,
+                   metavar="A",
+                   help="agreement-targeted AUTOTUNING: on a --autotune-"
+                        "frames calibration prefix, run exact serving and "
+                        "a ladder of budgeted configs (threshold from the "
+                        "prefix's own drift scale, budgets ~1/8..3/4 of "
+                        "--batch) and serve with the CHEAPEST one whose "
+                        "ids agreement vs exact is >= A (0..1).  Falls "
+                        "back to exact serving when no candidate "
+                        "qualifies.  Replaces --temporal/--temporal-"
+                        "thresh/--temporal-budget; composes with "
+                        "--quantize, --pr-config-path, --temporal-warp, "
+                        "--temporal-nearest.  Costs one compile per "
+                        "candidate up front (once per stream)")
+    p.add_argument("--autotune-frames", type=int, default=32, metavar="M",
+                   help="calibration prefix length for --temporal-autotune "
+                        "(>= --batch; longer prefixes sample more of the "
+                        "content's motion)")
     p.add_argument("--temporal-report", action="store_true",
                    help="with --temporal N / --temporal-thresh T: also run "
                         "the exact per-frame pipeline on the same frames "
@@ -307,6 +325,62 @@ def main(argv=None):
         calib = [f for _, f in zip(range(args.calibrate),
                                    open_frames(args, h, w,
                                                resized=args.host_resize))]
+    autotune_res = None
+    if args.temporal_autotune is not None:
+        if args.temporal > 1 or args.temporal_thresh is not None:
+            raise SystemExit(
+                "error: --temporal-autotune replaces --temporal/"
+                "--temporal-thresh/--temporal-budget"
+            )
+        if args.mesh_devices:
+            raise SystemExit(
+                "error: --temporal-autotune not combinable with "
+                "--mesh-devices (budgeted mode is single-device)"
+            )
+        from tpuseg.video.autotune import autotune_budget
+
+        def _make_segmenter(**temporal_kw):
+            if temporal_kw:
+                # candidates are measured in the exact configuration that
+                # will serve, warp/nearest included; the exact baseline
+                # carries no temporal options
+                temporal_kw.setdefault("temporal_warp", args.temporal_warp)
+                temporal_kw.setdefault("temporal_nearest",
+                                       args.temporal_nearest)
+            return VideoSegmenter(
+                params, state, spec, mean, std,
+                compute_dtype=(jnp.bfloat16 if args.dtype == "bfloat16"
+                               else None),
+                batch=args.batch,
+                device_outputs=args.device_outputs,
+                target_size=None if args.host_resize else (h, w),
+                quantize=args.quantize,
+                quantize_stem=args.quantize and args.quantize_stem,
+                calib_frames=calib,
+                exec_plans=exec_plans,
+                transport=args.transport,
+                ids_bits=_resolve_ids_pack(args, w),
+                **temporal_kw,
+            )
+
+        cal_frames = [
+            f for _, f in zip(
+                range(max(args.autotune_frames, args.batch)),
+                open_frames(args, h, w, resized=args.host_resize),
+            )
+        ]
+        autotune_res = autotune_budget(
+            _make_segmenter, cal_frames,
+            target_agreement=args.temporal_autotune, batch=args.batch,
+        )
+        print(json.dumps({"event": "temporal_autotune", **autotune_res}))
+        if autotune_res["temporal_budget"] is not None:
+            args.temporal_thresh = autotune_res["temporal_thresh"]
+            args.temporal_budget = autotune_res["temporal_budget"]
+        else:
+            # exact serving: warp/nearest only apply to temporal modes
+            args.temporal_warp = False
+            args.temporal_nearest = False
     seg = VideoSegmenter(
         params,
         state,
@@ -368,6 +442,9 @@ def main(argv=None):
             line["temporal_warp"] = True
         if args.temporal_nearest:
             line["temporal_nearest"] = True
+    if autotune_res is not None:
+        line["autotune_target"] = args.temporal_autotune
+        line["autotune_budget"] = autotune_res["temporal_budget"]
     if args.temporal_thresh is not None:
         line["temporal_thresh"] = args.temporal_thresh
         line["promotion_rate"] = round(result["promotion_rate"], 4)

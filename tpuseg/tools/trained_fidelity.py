@@ -240,21 +240,11 @@ def _gt_miou_from_ids(ids: list[np.ndarray], labels: np.ndarray) -> float:
 
 
 def _drift_thresh(frames: np.ndarray) -> tuple[float, float]:
-    """Drift scale of THIS video (host-side mean |delta| between consecutive
-    frames, same metric the device scan uses) -> (threshold between the
-    sensor-noise floor and the motion signal, mean |delta|)."""
-    deltas = np.stack(
-        [
-            np.abs(
-                frames[i + 1].astype(np.int16) - frames[i].astype(np.int16)
-            ).mean()
-            for i in range(len(frames) - 1)
-        ]
-    )
-    thresh = float(
-        np.percentile(deltas, 25) * 0.5 + np.percentile(deltas, 75) * 0.5
-    )
-    return thresh, float(deltas.mean())
+    """Drift scale of THIS video -> (threshold, mean |delta|); shared with
+    the serving autotuner (tpuseg.video.autotune)."""
+    from tpuseg.video.autotune import drift_threshold
+
+    return drift_threshold(frames)
 
 
 def stage_fidelity(args) -> None:
