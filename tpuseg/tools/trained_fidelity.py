@@ -128,9 +128,17 @@ def _train_seg_model(
     eval_every: int,
     seed: int,
     log_prefix: str,
+    keep_best: bool = False,
 ):
     """SGD-train (params, state) on fresh shapes scenes; returns
-    (params, bn_state, curve) where curve is [(step, val_miou), ...]."""
+    (params, bn_state, curve) where curve is [(step, val_miou), ...].
+
+    ``keep_best=True`` returns the weights from the eval with the highest
+    val mIoU instead of the last step's — the reference's checkpoint_best
+    semantics (`semantic_seg.py:286-290`), which is what a deployment
+    would actually ship.  Recovery curves are noisy near convergence
+    (measured: d54 block128reg swings 86-89 past step 550), so last-step
+    weights can sit points below the band's top."""
     import jax.numpy as jnp
 
     from tpuseg.train import create_train_state, make_eval_step, make_sgd
@@ -144,6 +152,7 @@ def _train_seg_model(
     rng = np.random.default_rng(seed)
     val_imgs, val_labels = _val_set(size)
     curve = []
+    best = None  # (miou, host params, host bn_state, step)
     t0 = time.time()
     for step in range(1, steps + 1):
         imgs, labs = shapes.sample_batch(rng, batch, size)
@@ -160,8 +169,15 @@ def _train_seg_model(
                 f"{float(np.asarray(metrics['loss'])):.4f} "
                 f"val_miou={miou:.4f} ({time.time() - t0:.0f}s)"
             )
+            if keep_best and (best is None or miou > best[0]):
+                best = (miou, jax.device_get(st.params),
+                        jax.device_get(st.bn_state), step)
             if target_miou is not None and miou >= target_miou:
                 break
+    if keep_best and best is not None:
+        print(f"{log_prefix}: keeping best weights "
+              f"(step {best[3]}, val_miou={best[0]:.4f})")
+        return best[1], best[2], curve
     return st.params, st.bn_state, curve
 
 
@@ -503,8 +519,13 @@ def stage_compose(args) -> None:
             eval_every=args.eval_every,
             seed=args.seed + 3,
             log_prefix="compose-recover",
+            # ship what a deployment ships: the best eval's weights
+            # (reference checkpoint_best semantics) — recovery curves
+            # are noisy near convergence
+            keep_best=True,
         )
-        rec_meta = {"miou_recovered": curve[-1][1] if curve else None,
+        rec_meta = {"miou_recovered": max((m for _, m in curve),
+                                          default=None),
                     "recover_steps": args.recover_steps}
         # masks ride along so serving reconstructs the EXACT recovery
         # geometry (magnitude masks regenerated from recovered weights
