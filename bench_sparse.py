@@ -664,7 +664,7 @@ def bench_frontend():
         wq, ws = quantize_weight(np.asarray(w, np.float32))
         return jnp.asarray(wq), jnp.asarray(ws)
 
-    q_stem = [(q(w)[0], q(w)[1], b, lo, hi) for (w, b, lo, hi) in stem.convs]
+    q_stem = [q(w) + (b, lo, hi) for (w, b, lo, hi) in stem.convs]
     q_b0c1 = (*q(stem.b0_conv1[0]), stem.b0_conv1[1],
               stem.b0_conv1[2], stem.b0_conv1[3])
     q_b0ds = (*q(stem.b0_ds[0]), stem.b0_ds[1], stem.b0_ds[2], stem.b0_ds[3])

@@ -594,3 +594,32 @@ def test_block_regular_masker_roundtrip_and_static():
     m = static["layer.6.0.conv1.weight"]  # HWIO (3,3,256,512)
     live = m[0, 0].reshape(2, 128, 4, 128).sum(axis=(1, 3)).T > 0  # (O,I)b
     assert (live.sum(axis=1) == 1).all()  # k = round(0.25*2) = 1 per block
+
+
+@pytest.mark.slow
+def test_vendored_configs_byte_identical_to_regeneration(tmp_path):
+    """The vendored optimal_configs/ set is exactly what
+    ``python -m tpuseg.tools.gen_configs`` regenerates — same file set,
+    same bytes (the CLAUDE.md self-containedness contract: drift in the
+    emit functions must not ship unnoticed)."""
+    import glob
+
+    from conftest import VENDORED_CONFIGS
+    from tpuseg.tools.gen_configs import (
+        emit_optimal_configs, emit_regular_configs, emit_serving_configs)
+
+    out = str(tmp_path / "regen")
+    emit_optimal_configs(out, verbose=False)
+    emit_serving_configs(out, verbose=False)
+    emit_regular_configs(out, verbose=False)
+
+    rel = lambda root: sorted(
+        os.path.relpath(p, root)
+        for p in glob.glob(os.path.join(root, "*", "*.json")))
+    assert rel(out) == rel(VENDORED_CONFIGS)
+    for r in rel(out):
+        with open(os.path.join(out, r), "rb") as fh:
+            regen = fh.read()
+        with open(os.path.join(VENDORED_CONFIGS, r), "rb") as fh:
+            vendored = fh.read()
+        assert regen == vendored, f"optimal_configs/{r} drifted from gen_configs"

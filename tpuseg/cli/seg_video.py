@@ -271,7 +271,15 @@ def open_frames(args, h: int, w: int, *, resized: bool, fmt: str = "rgb"):
         return FrameSource(args.video, size=(h, w) if resized else None,
                            fmt=fmt)
     seed = int(args.video.split(":", 1)[1]) if ":" in args.video else 0
-    n = max(args.frames or 0, getattr(args, "calibrate", 0) or 0, 1)
+    n = max(
+        args.frames or 0,
+        getattr(args, "calibrate", 0) or 0,
+        # autotune consumes a calibration prefix of its own — generate
+        # enough synthetic frames for it (real videos stream regardless)
+        (max(getattr(args, "autotune_frames", 0) or 0, args.batch)
+         if getattr(args, "temporal_autotune", None) is not None else 0),
+        1,
+    )
     key = (seed, n, h, w)
     if key not in _SHAPES_CACHE:
         from tpuseg.data.shapes import shapes_video
@@ -325,9 +333,15 @@ def main(argv=None):
         calib = [f for _, f in zip(range(args.calibrate),
                                    open_frames(args, h, w,
                                                resized=args.host_resize))]
+    # resolve the ids-pack policy ONCE: _resolve_ids_pack prints the
+    # machine-read ids_pack_auto event, and the autotune block below
+    # builds several throwaway segmenters — per-call resolution would
+    # duplicate the event line in harvested stdout
+    ids_bits = _resolve_ids_pack(args, w)
     autotune_res = None
     if args.temporal_autotune is not None:
-        if args.temporal > 1 or args.temporal_thresh is not None:
+        if (args.temporal > 1 or args.temporal_thresh is not None
+                or args.temporal_budget is not None):
             raise SystemExit(
                 "error: --temporal-autotune replaces --temporal/"
                 "--temporal-thresh/--temporal-budget"
@@ -359,7 +373,7 @@ def main(argv=None):
                 calib_frames=calib,
                 exec_plans=exec_plans,
                 transport=args.transport,
-                ids_bits=_resolve_ids_pack(args, w),
+                ids_bits=ids_bits,
                 **temporal_kw,
             )
 
@@ -403,7 +417,7 @@ def main(argv=None):
         temporal_nearest=args.temporal_nearest,
         mesh=_build_mesh(args.mesh_devices),
         transport=args.transport,
-        ids_bits=_resolve_ids_pack(args, w),
+        ids_bits=ids_bits,
     )
     # with the yuv420 transport, real videos decode straight to packed
     # I420 planes (the native decoder emits them with no RGB detour) —

@@ -73,10 +73,13 @@ def prune_as_block_regular(
     padded[:o, :i] = w
     meta = padded.reshape(nob, bh, nib, bw).sum(axis=(1, 3))  # (nob, nib)
     meta_mask = np.zeros((nob, nib), np.float64)
+    if is_static and rng is None:
+        # one generator for the whole layer — constructing it inside the
+        # loop would hand every out-block the identical "random" support
+        rng = np.random.default_rng(0)
     for ob in range(nob):
         if is_static:
-            keep = (rng or np.random.default_rng(0)).choice(
-                nib, size=k, replace=False)
+            keep = rng.choice(nib, size=k, replace=False)
         else:
             # descending by |block sum|; ties break at the lower in-block
             # index (stable argsort of the negated row)
