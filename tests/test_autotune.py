@@ -130,3 +130,27 @@ def test_cli_autotune_flag_conflicts():
         main(["--video", "shapes:7", "--size", "64x64", "--frames", "4",
               "--batch", "2", "--temporal-autotune", "0.9",
               "--temporal", "2"])
+    # an explicit budget conflicts too (autotune owns the budget choice);
+    # previously this crashed with a raw AssertionError on the
+    # exact-fallback path and silently overrode the budget otherwise
+    with pytest.raises(SystemExit, match="autotune"):
+        main(["--video", "shapes:7", "--size", "64x64", "--frames", "4",
+              "--batch", "2", "--temporal-autotune", "0.9",
+              "--temporal-budget", "1"])
+
+
+def test_cli_autotune_shapes_source_covers_prefix(capsys):
+    """The shapes synthetic source must generate enough frames for the
+    autotune calibration prefix even when --frames is smaller (it was
+    silently truncated to --frames), and the machine-read ids_pack_auto
+    event must appear exactly once despite the candidate segmenters."""
+    from tpuseg.cli.seg_video import main
+
+    main(["--video", "shapes:3", "--size", "64x64", "--frames", "4",
+          "--batch", "4", "--temporal-autotune", "0.0",
+          "--autotune-frames", "8"])
+    out = capsys.readouterr().out.strip().splitlines()
+    event = next(json.loads(l) for l in out if '"temporal_autotune"' in l)
+    assert event["calib_frames"] == 8  # not truncated to --frames=4
+    assert sum('"ids_pack_auto"' in l for l in out) == 1
+    assert json.loads(out[-1])["frames"] == 4
