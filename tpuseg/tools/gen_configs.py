@@ -116,7 +116,8 @@ def emit_optimal_configs(out_root: str, matrix=None, verbose: bool = True
 # reference's accuracy-research geometry (2x2 blocklets — below MXU tile
 # granularity, served masked-dense by measured physics); THIS set is what
 # `seg_video --pr-config-path ... --sparse-lowering gathered` serves at
-# 1.59x bf16 / 1.66x int8 model-level (round-4 hardware record).
+# 1.60x bf16 / 1.66x int8 model-level (round-4 hardware record; the
+# exact-supports default refines it — docs/PERF_NOTES.md density sweep).
 SERVING_MATRIX: list[tuple[str, float]] = [
     ("drn_d_22", 0.50),
     ("drn_d_22", 0.75),
