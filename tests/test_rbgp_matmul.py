@@ -9,8 +9,6 @@ import jax.numpy as jnp
 from tpuseg.models.drn import conv2d
 from tpuseg.ops.rbgp_matmul import (
     detect_structure,
-    grouped_einsum_apply,
-    plan_grouped_einsum,
     plan_rbgp,
     rbgp_conv_apply,
 )
@@ -101,21 +99,4 @@ def test_plan_grouped_conv_matches_masked_dense():
     y = rbgp_conv_apply(x, plan)
     ref = conv2d(x, jnp.asarray(w * mh), stride=1, dilation=1, padding=0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-
-
-def test_grouped_einsum_matches_masked_matmul():
-    pc = pr = 16
-    cin = cout = 128
-    rng = np.random.default_rng(4)
-    P = generate_sparsity_pattern(pr, pc, 0.5, "RAMANUJAN", rng)
-    # mask[i, o] = P[o % pr, i % pc]  (pattern rows index output classes)
-    i = np.arange(cin)[:, None] % pc
-    o = np.arange(cout)[None, :] % pr
-    mask = P[o, i].astype(np.float32)
-    w = rng.normal(size=(cin, cout)).astype(np.float32)
-    plan = plan_grouped_einsum(w, mask, dtype=jnp.float32)
-    x = jnp.asarray(rng.normal(size=(32, cin)).astype(np.float32))
-    y = grouped_einsum_apply(x, plan)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ (w * mask),
                                rtol=1e-4, atol=1e-4)

@@ -95,7 +95,8 @@ def plan_gathered_conv(
     weight tensor serves all blocks; ``exact`` keeps each block's own S_j
     (dead out-blocks get an empty support and no weights at all).
     """
-    assert mode in ("split", "grouped", "exact"), mode
+    if mode not in ("split", "grouped", "exact"):
+        raise ValueError(f"unknown gathered mode: {mode}")
     kh, kw, cin, cout = w_hwio.shape
     assert kh == kw
     assert cin % bk == 0 and cout % bm == 0

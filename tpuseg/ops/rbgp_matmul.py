@@ -32,9 +32,10 @@ spectral gap is the paper's whole point), so no permutation fixes this.
 Dense-with-mask IS the optimal MXU execution for those layers; the
 structured patterns above are where RBGP structure pays off on TPU.
 
-``grouped_einsum_apply`` implements the grouped formulation anyway (it is
-the right lowering on hardware with finer tiles, and it documents the
-measurement); ``plan_rbgp`` never selects it for speed.
+A residue-grouped einsum lowering (``grouped_einsum_apply``) was built,
+tested, and measured at that 8x loss; it was deleted in round 5 — the
+measurement lives in docs/PERF_NOTES.md's dead-end list, which is the
+artifact worth keeping.
 """
 
 from __future__ import annotations
@@ -266,70 +267,3 @@ def rbgp_conv_apply(
         return y[..., np.asarray(plan.perm_out)]
     raise ValueError(plan.kind)
 
-
-# --------------------------------------------------------------------------
-# Reference grouped lowering (measured slow on MXU; kept for completeness)
-# --------------------------------------------------------------------------
-
-
-@dataclasses.dataclass
-class GroupedEinsumPlan:
-    """Residue-grouped matmul lowering of a periodic 1x1 mask.
-
-    For a (cin x cout) mask with mask[i, o] = P[i % pc, o % pr]: output
-    residue class g (pr classes, cout/pr channels each) contracts only the
-    input residue classes in supp(P[:, g]).  ``gather`` holds, per class,
-    the input channel indices; ``weights`` the packed per-class weights.
-    """
-
-    gather: jax.Array    # (pr, d * cin//pc) int32
-    weights: jax.Array   # (pr, d * cin//pc, cout//pr)
-    scatter: jax.Array   # (cout,) int32: class-major -> natural order
-    pr: int
-
-
-def plan_grouped_einsum(
-    w_io: np.ndarray, mask_io: np.ndarray, dtype=jnp.bfloat16
-) -> GroupedEinsumPlan:
-    """Pack a periodic-masked (cin x cout) matmul into the grouped form."""
-    s = detect_structure((np.asarray(mask_io) != 0).T.astype(np.float32))
-    assert s is not None, "mask has no periodic structure"
-    pr, pc = s.pr, s.pc  # pr over cout, pc over cin
-    cin, cout = w_io.shape
-    P = s.pattern  # (pr, pc): pattern[o_res, i_res]
-    d = int(P.sum(1).max())
-    assert (P.sum(1) == d).all(), "pattern must be row-regular"
-    mi = cin // pc
-    gather, weights, order = [], [], []
-    wm = np.asarray(w_io, np.float32) * np.asarray(mask_io, np.float32)
-    for g in range(pr):
-        cls = np.nonzero(P[g])[0]
-        idx = (cls[:, None] + pc * np.arange(mi)[None, :]).reshape(-1)
-        outs = np.arange(g, cout, pr)
-        gather.append(idx)
-        weights.append(wm[idx][:, outs])
-        order.append(outs)
-    scatter = np.argsort(np.concatenate(order)).astype(np.int32)
-    return GroupedEinsumPlan(
-        gather=jnp.asarray(np.stack(gather).astype(np.int32)),
-        weights=jnp.asarray(np.stack(weights), dtype),
-        scatter=jnp.asarray(scatter),
-        pr=pr,
-    )
-
-
-def grouped_einsum_apply(x: jax.Array, plan: GroupedEinsumPlan) -> jax.Array:
-    """y = x @ (w * mask) via residue-grouped contraction.
-
-    STATUS — correct but NOT routed into production (measured on v5e):
-    ~8x SLOWER than the dense masked matmul at 50% sparsity (2.0 vs 30.5
-    TFLOP/s — group width cout/pr=16 wastes 112 of 128 MXU lanes), so
-    ``plan_rbgp`` never picks it and it appears in no coverage or perf
-    claim.  Kept as the documented reference lowering (and for targets
-    with finer matrix tiles) — same in-tree policy as ops/winograd.py.
-    """
-    xg = x[:, plan.gather]                      # (P, pr, d*mi) gather
-    yg = jnp.einsum("pgk,gkm->pgm", xg, plan.weights,
-                    preferred_element_type=jnp.float32)
-    y = yg.reshape(x.shape[0], -1)              # class-major channel order
-    return y[:, plan.scatter].astype(x.dtype)

@@ -27,6 +27,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pl_call(*args, **kw):
+    """``pl.pallas_call`` with interpret-mode fallback off-TPU.
+
+    These kernels use TPU Mosaic primitives (pltpu.*); on the CPU backend
+    (the test mesh, CPU dryruns, ``--sparse-exec`` smoke runs) they execute
+    through the Pallas interpreter instead of Mosaic.  An explicit
+    ``interpret=`` kwarg (or a test monkeypatch of ``pl.pallas_call``)
+    still wins."""
+    if "interpret" not in kw and jax.default_backend() == "cpu":
+        kw["interpret"] = True
+    return pl.pallas_call(*args, **kw)
+
+
 @dataclasses.dataclass
 class XwBsr:
     """Column-block-sparse weight for y = x @ W (W: (K, M))."""
@@ -101,7 +114,7 @@ def bsr_matmul_xw(x: jax.Array, w: XwBsr, bp: int = 512, out_dtype=jnp.float32) 
             preferred_element_type=jnp.float32,
         ).astype(y_ref.dtype)
 
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel,
         grid=(P // bp, M // bm),
         in_specs=[
@@ -336,7 +349,7 @@ def fused_sparse_conv_apply(
         ).reshape(1, R, w_, bm).astype(y_ref.dtype)
 
     nmb = plan.cout // bm
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R), nmb),
         in_specs=[
@@ -511,7 +524,7 @@ def shared_sparse_conv_apply(
                 acc = y if acc is None else acc + y
             y_ref[0, :, :, jb * bm : (jb + 1) * bm] = acc.astype(y_ref.dtype)
 
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R),),
         in_specs=[
@@ -637,7 +650,7 @@ def fused_phase_sparse_conv_apply(
         y_ref[:] = acc.reshape(1, R, w_, bm).astype(y_ref.dtype)
 
     nmb = plan.cout // bm
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R), nmb),
         in_specs=[
@@ -779,7 +792,7 @@ def imcol_phase_sparse_conv_apply(
         ).reshape(1, R, w_, bm).astype(y_ref.dtype)
 
     nmb = plan.cout // bm
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R), nmb),
         in_specs=[
@@ -904,7 +917,7 @@ def cphase_sparse_conv_apply(
         ).reshape(1, R, w_, bm).astype(y_ref.dtype)
 
     nmb = plan.cout // bm
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R), nmb),
         in_specs=[
@@ -1045,7 +1058,7 @@ def phase_sparse_conv_apply(
                 R, w_, bm
             ).astype(y_ref.dtype)
 
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R),),
         in_specs=[
@@ -1162,7 +1175,7 @@ def shared_concat_sparse_conv_apply(
             preferred_element_type=jnp.float32,
         ).reshape(1, R, w_, gm).astype(y_ref.dtype)
 
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R), out_split),
         in_specs=[
@@ -1310,7 +1323,7 @@ def fused_sparse_conv_apply_q(
     ).astype(jnp.int8)
     # int8 tiles are (32, 128): DMA slice extents on the W dim must be
     # 32-aligned (8-aligned for bf16; unaligned extents FAULT the worker —
-    # see tpuseg/ops/winograd.py STATUS)
+    # see docs/PERF_NOTES.md dead-end #7, Mosaic fact (b))
     wp = -(-(w_ + 2 * pad) // 32) * 32
     est = (R * w_ * T * S * bk + (R + 2 * pad) * wp * S * bk)
     assert est < 12 * 2**20, (
@@ -1362,7 +1375,7 @@ def fused_sparse_conv_apply_q(
         y_ref[:] = y.reshape(1, R, w_, bm).astype(y_ref.dtype)
 
     nmb = plan.cout // bm
-    y = pl.pallas_call(
+    y = _pl_call(
         kernel_fn,
         grid=(n * (h // R), nmb),
         in_specs=[
