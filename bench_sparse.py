@@ -822,13 +822,81 @@ def bench_train():
         }))
 
 
+def bench_trainer():
+    """FULL seg trainer step on-chip: make_seg_train_step dense-masked vs
+    --sparse-exec (sparse_plans from build_sparse_train_structs), the path
+    `semantic_seg train --sparse-exec` actually runs.  Vendored block128reg
+    87.5% geometry, drn_d_22, bf16, 512x512 crop, batch 4 — scan-chained
+    steps carrying the whole TrainState so XLA cannot DCE or overlap."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.sparse_train import build_sparse_train_structs
+    from tpuseg.sparsity import create_masker
+    from tpuseg.train import create_train_state, make_seg_train_step, make_sgd
+
+    CROP, BATCH, INNER = 512, 4, 16
+    cfg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "optimal_configs", "drn_d_22", "drn_d_22_block128reg_87.50.json",
+    )
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    masker = create_masker(cfg, seed=0)
+    masks = masker.generate_masks(params, is_static=True)
+    structs, report = build_sparse_train_structs(masks, spec)
+    n_sparse = sum(1 for v in report.values() if v.startswith("sparse-train"))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((BATCH, CROP, CROP, 3), dtype=np.float32))
+    y = jnp.asarray(
+        rng.integers(0, 19, size=(BATCH, CROP, CROP)).astype(np.int32))
+    tx = make_sgd(lambda _: 0.01, 0.9, 1e-4)
+
+    def time_step(plans):
+        step = make_seg_train_step(
+            spec, tx, compute_dtype=jnp.bfloat16, sparse_plans=plans)
+
+        @jax.jit
+        def loop(ts):
+            def body(c, _):
+                c2, _m = step(c, x, y)
+                return c2, ()
+            ts2, _ = jax.lax.scan(body, ts, None, length=INNER)
+            return ts2
+
+        ts = create_train_state(params, state, tx, masks)
+        o = loop(ts)
+        float(np.asarray(o.params["seg.weight"]).sum())  # force completion
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = loop(ts)
+            float(np.asarray(o.params["seg.weight"]).sum())
+            best = min(best, (time.perf_counter() - t0) / INNER)
+        return best
+
+    t_dense = time_step(None)
+    t_sparse = time_step(structs)
+    print(json.dumps({
+        "metric": "trainer_step_sparse_exec_block128reg_87.5",
+        "crop": CROP, "batch": BATCH,
+        "dense_masked_ms": round(t_dense * 1e3, 2),
+        "sparse_exec_ms": round(t_sparse * 1e3, 2),
+        "speedup_vs_dense_masked": round(t_dense / t_sparse, 3),
+        "sparse_layers": n_sparse,
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
     if ("--fused-only" not in sys.argv and "--model" not in sys.argv
             and "--train" not in sys.argv and "--gathered" not in sys.argv
             and "--rmcdb" not in sys.argv and "--layout" not in sys.argv
-            and "--frontend" not in sys.argv):
+            and "--frontend" not in sys.argv and "--trainer" not in sys.argv):
         main()
     if ("--fused" in sys.argv or "--fused-only" in sys.argv
             or "--fused-appendix" in sys.argv):
@@ -845,3 +913,5 @@ if __name__ == "__main__":
         bench_model()
     if "--train" in sys.argv:
         bench_train()
+    if "--trainer" in sys.argv:
+        bench_trainer()

@@ -237,3 +237,57 @@ def test_seg_video_budget_warp(capsys):
     assert result["temporal_warp"] is True
     assert 0.0 < result["temporal_ids_agreement"] <= 1.0
     assert 0.0 < result["promotion_rate"] <= 1.0
+
+
+@pytest.mark.slow
+def test_semantic_seg_sparse_exec_smoke(tmp_path, capsys):
+    """`semantic_seg train --sparse-exec` routes eligible masked convs
+    through the trainable fused block-sparse kernel (interpret mode on
+    CPU) and completes an epoch with finite loss + a per-layer report."""
+    save = str(tmp_path / "se")
+    seg_main([
+        "train", "--synthetic", "4", "-s", "32", "--batch-size", "2",
+        "--epochs", "1", "--dtype", "float32", "--mesh-devices", "1",
+        "--mc-pruning", "--pr-static", "--pr-config-path",
+        os.path.join(
+            VENDORED_CONFIGS, "drn_d_22", "drn_d_22_block128reg_87.50.json"
+        ),
+        "--sparse-exec", "--save-dir", save,
+    ])
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    report = next(l["sparse_exec"] for l in lines if "sparse_exec" in l)
+    n_sparse = sum(1 for v in report.values() if v.startswith("sparse-train"))
+    assert n_sparse >= 8, report
+    final = next(l for l in lines if "train_loss" in l)
+    assert np.isfinite(final["train_loss"])
+    assert os.path.exists(os.path.join(save, "checkpoint.npz"))
+
+
+@pytest.mark.slow
+def test_rmbsnn_sparse_exec_smoke(tmp_path, capsys):
+    """`rmbsnn --sparse-exec` on a DRN classifier arch: eligible masked
+    convs (cls naming) run through the trainable sparse kernel."""
+    from tpuseg.cli.rmbsnn import main as rmbsnn_main
+
+    cfg = {
+        "pruner_type": "block_regular",
+        "configs": [{
+            "layer_set": ["layer6.0.conv1.weight", "layer7.0.weight"],
+            "sparsity": 0.875, "block_height": 128, "block_width": 128,
+        }],
+    }
+    cfg_path = tmp_path / "cls_block.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rmbsnn_main([
+        "--dataset", "synthetic", "--synthetic-n", "8", "-a", "drn_d_22",
+        "-b", "4", "--epochs", "1", "--dtype", "float32",
+        "--mc-pruning", "--pr-static", "--pr-config-path", str(cfg_path),
+        "--sparse-exec", "--save-dir", str(tmp_path / "cls"),
+        "--mesh-devices", "1",
+    ])
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    report = next(l["sparse_exec"] for l in lines if "sparse_exec" in l)
+    n_sparse = sum(1 for v in report.values() if v.startswith("sparse-train"))
+    assert n_sparse == 2, report

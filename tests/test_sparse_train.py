@@ -77,6 +77,77 @@ def test_sparse_train_grads_match_dense_masked(kernel, dilation):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_seg_train_step_sparse_exec_matches_masked_dense():
+    """FULL train-step parity: make_seg_train_step(sparse_plans=...) vs the
+    reference-semantics masked-dense step.  The sparse step changes only
+    gradients the per-step mask projection re-zeroes anyway, so losses,
+    params (all of them — masked positions are zero in both), and BN state
+    must track up to float associativity."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.sparse_train import build_sparse_train_structs
+    from tpuseg.sparsity.base import hwio_to_oihw, oihw_to_hwio
+    from tpuseg.sparsity.block import BlockConfig, prune_as_block
+    from tpuseg.train import create_train_state, make_seg_train_step, make_sgd
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    layers = ["layer.6.0.conv1.weight", "layer.7.0.weight"]
+    masks = {}
+    for name in layers:
+        w = hwio_to_oihw(np.asarray(params[name]))
+        m = prune_as_block(
+            w, BlockConfig(0.75, 128, 128, -1, -1, collapse_tensor=False)
+        )
+        masks[name] = oihw_to_hwio(m).astype(np.float32)
+
+    structs, report = build_sparse_train_structs(masks, spec)
+    assert set(structs) == {l[: -len(".weight")] for l in layers}, report
+
+    # lr must keep training STABLE: at a diverging lr (0.05 here doubles the
+    # loss per step) BatchNorm chaotically amplifies reassociation noise and
+    # the two float-identical-in-exact-arithmetic trajectories drift to 1e-3
+    # in 2 steps (measured); at 0.005 the drift stays ~1e-4.
+    tx = make_sgd(lambda _: 0.005, 0.9, 1e-4)
+    data_rng = np.random.default_rng(7)
+    batches = [
+        (
+            data_rng.random((2, 64, 64, 3), dtype=np.float32),
+            data_rng.integers(0, 19, size=(2, 64, 64)).astype(np.int32),
+        )
+        for _ in range(2)
+    ]
+
+    def run(plans):
+        ts = create_train_state(params, state, tx, masks)
+        step = jax.jit(
+            make_seg_train_step(spec, tx, compute_dtype=None,
+                                sparse_plans=plans)
+        )
+        losses = []
+        for im, lb in batches:
+            ts, m = step(ts, jnp.asarray(im), jnp.asarray(lb))
+            losses.append(float(m["loss"]))
+        return ts, losses
+
+    ts_d, loss_d = run(None)
+    ts_s, loss_s = run(structs)
+    np.testing.assert_allclose(loss_s, loss_d, rtol=1e-3)
+    for k in ts_d.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_s.params[k]), np.asarray(ts_d.params[k]),
+            rtol=2e-3, atol=5e-4, err_msg=k,
+        )
+    for k in ts_d.bn_state:
+        np.testing.assert_allclose(
+            np.asarray(ts_s.bn_state[k]), np.asarray(ts_d.bn_state[k]),
+            rtol=2e-3, atol=5e-4, err_msg=k,
+        )
+    # masked positions stay exactly zero through the sparse step too
+    for name in layers:
+        off = np.asarray(ts_s.params[name]) * (1 - masks[name])
+        assert float(np.abs(off).max()) == 0.0
+
+
 def test_pack_vals_roundtrip_gradient():
     """Packing VJP scatters exactly onto the support."""
     rng = np.random.default_rng(1)

@@ -46,6 +46,12 @@ def parse_args(argv=None):
     p.add_argument("--pr-config-path", default=None)
     p.add_argument("--pr-static", action="store_true")
     p.add_argument("--rejig", action="store_true")
+    p.add_argument("--sparse-exec", action="store_true",
+                   help="run eligible masked convs of the STUDENT through "
+                        "the fused block-sparse kernel in all three train "
+                        "passes (DRN archs only — CIFAR-zoo channel widths "
+                        "are never /128); ineligible layers stay "
+                        "masked-dense (see semantic_seg --sparse-exec)")
     p.add_argument("--resume", default=None)
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--quantize", action="store_true",
@@ -226,10 +232,35 @@ def main(argv=None):
                      "local_batch": local_bs, "global_batch": args.batch_size},
         }))
     ts = replicate(mesh, ts)
+    sparse_plans = None
+    if getattr(args, "sparse_exec", False):
+        from tpuseg.models.cifar import CifarSpec
+
+        if isinstance(spec, CifarSpec):
+            raise SystemExit(
+                "--sparse-exec requires a DRN arch (CIFAR-zoo channel "
+                "widths are never /128; no eligible layer exists)"
+            )
+        if masks is None:
+            raise SystemExit(
+                "--sparse-exec requires masks (--mc-pruning "
+                "--pr-config-path ... or a resumed checkpoint with masks)"
+            )
+        from tpuseg.ops.sparse_train import build_sparse_train_structs
+
+        sparse_plans, sparse_report = build_sparse_train_structs(masks, spec)
+        if is_main:
+            print(json.dumps({"sparse_exec": sparse_report}))
+        if not sparse_plans:
+            if is_main:
+                print("warning: --sparse-exec found no eligible layer; "
+                      "running masked-dense")
+            sparse_plans = None
     step_fn = shard_train_step(make_cls_train_step(
         spec, tx, compute_dtype=compute_dtype, teacher=teacher,
         kd_student_wt=args.kd_student_wt, kd_distill_wt=args.kd_distill_wt,
         kd_temperature=args.kd_temperature, remat=args.remat,
+        sparse_plans=sparse_plans,
     ), mesh)
     data_put = lambda x: put_global_batch(data_sharding, x)  # noqa: E731
     fwd = classifier_forward(spec, compute_dtype)

@@ -70,6 +70,16 @@ def parse_args(argv=None):
     p.add_argument("--pr-static", action="store_true")
     p.add_argument("--rejig", action="store_true",
                    help="sparsity-aware reinit for static masks")
+    p.add_argument("--sparse-exec", action="store_true",
+                   help="execute eligible masked convs (stride 1, channels "
+                        "/128, block-structured mask) through the fused "
+                        "block-sparse kernel in ALL THREE train passes "
+                        "(fwd/dgrad/wgrad) at the mask's union block "
+                        "density, instead of reference-semantics masked-"
+                        "dense; ineligible layers stay masked-dense and "
+                        "eval keeps the (equivalent) dense-masked forward. "
+                        "Unmasked-weight trajectory matches masked-dense "
+                        "up to float associativity (tests/test_sparse_train.py)")
     p.add_argument("--unstructured-sparsity", type=float, default=0.0,
                    help="semseg_unstructured-style L1 magnitude pruning")
     p.add_argument("--random-unstructured", type=float, default=0.0,
@@ -292,9 +302,30 @@ def cmd_train(args):
                      "local_batch": local_bs, "global_batch": args.batch_size},
         }))
     ts = replicate(mesh, ts)
+    sparse_plans = None
+    if getattr(args, "sparse_exec", False):
+        # real sparse execution of the train loop (the measured 1.39x win,
+        # docs/PERF_NOTES.md): plan from the FINAL masks (post-resume)
+        if masks is None:
+            raise SystemExit(
+                "--sparse-exec requires masks (--mc-pruning "
+                "--pr-config-path ..., --unstructured-sparsity, or a "
+                "resumed checkpoint with masks)"
+            )
+        from tpuseg.ops.sparse_train import build_sparse_train_structs
+
+        sparse_plans, sparse_report = build_sparse_train_structs(masks, spec)
+        if is_main:
+            print(json.dumps({"sparse_exec": sparse_report}))
+        if not sparse_plans:
+            if is_main:
+                print("warning: --sparse-exec found no eligible layer; "
+                      "running masked-dense")
+            sparse_plans = None
     step_fn = shard_train_step(
         make_seg_train_step(
-            spec, tx, compute_dtype=compute_dtype, remat=args.remat
+            spec, tx, compute_dtype=compute_dtype, remat=args.remat,
+            sparse_plans=sparse_plans,
         ),
         mesh,
     )

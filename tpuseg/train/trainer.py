@@ -76,6 +76,7 @@ def make_seg_train_step(
     compute_dtype=jnp.bfloat16,
     frozen: tuple[str, ...] = ("up.weight",),
     remat: bool = False,
+    sparse_plans: Mapping | None = None,
 ) -> Callable:
     """Segmentation train step (parity with semantic_seg.train).
 
@@ -90,12 +91,23 @@ def make_seg_train_step(
     (tests/test_remat.py); on TPU bf16 the recompute compiles to a
     different fusion schedule, so losses can differ at rounding level
     (measured 8.006001 vs 8.006046 on the v5e chip).
+
+    ``sparse_plans`` maps conv names to ``SparseTrainStruct``s
+    (tpuseg.ops.sparse_train.build_sparse_train_structs): those convs run
+    all three passes (fwd/dgrad/wgrad) through the fused block-sparse
+    kernel at the mask's union block density instead of masked-dense —
+    real sparse execution for the reference's core train loop
+    (semantic_seg.py:181-227).  The trajectory of unmasked weights is
+    identical to the masked-dense step up to float associativity: the
+    only gradients that change are those at positions the per-step mask
+    projection re-zeroes anyway (tests/test_sparse_train.py).
     """
 
     def loss_fn(params, bn_state, images, labels):
         logp, _seg, updates = drnseg_forward(
             params, bn_state, images, spec, train=True,
             compute_dtype=compute_dtype, remat=remat,
+            sparse_plans=sparse_plans,
         )
         loss = seg_loss_from_logprobs(logp, labels)
         return loss, (updates, logp)
@@ -124,16 +136,26 @@ def make_seg_train_step(
     return train_step
 
 
-def classifier_forward(spec, compute_dtype=None, remat: bool = False) -> Callable:
+def classifier_forward(spec, compute_dtype=None, remat: bool = False,
+                       sparse_plans: Mapping | None = None) -> Callable:
     """Uniform classifier forward ``(params, bn_state, x, train) ->
     (logits, bn_updates)`` for DRN and CIFAR-zoo specs.
 
     ``remat=True`` checkpoints each backbone stage (DRN) / stage-group
     (CIFAR zoo) — see make_seg_train_step's remat note; the trade and the
-    exactness contract are identical."""
+    exactness contract are identical.
+
+    ``sparse_plans`` (DRN specs only — CIFAR-zoo channel widths are never
+    /128 so no layer is ever eligible) routes masked convs through the
+    trainable fused block-sparse kernel; see make_seg_train_step."""
     from tpuseg.models.cifar import CifarSpec, cifar_forward
 
     if isinstance(spec, CifarSpec):
+        if sparse_plans:
+            raise ValueError(
+                "sparse_plans is not supported for CIFAR-zoo specs "
+                "(channel widths are not /128; no eligible layer exists)"
+            )
 
         def fwd(params, bn_state, x, train=False):
             return cifar_forward(
@@ -147,6 +169,7 @@ def classifier_forward(spec, compute_dtype=None, remat: bool = False) -> Callabl
             logits, _, updates = drn_forward(
                 params, bn_state, x, spec, train=train,
                 compute_dtype=compute_dtype, remat=remat,
+                sparse_plans=sparse_plans,
             )
             return logits, updates
 
@@ -162,6 +185,7 @@ def make_cls_train_step(
     kd_distill_wt: float = 0.5,
     kd_temperature: float = 4.0,
     remat: bool = False,
+    sparse_plans: Mapping | None = None,
 ) -> Callable:
     """Classification train step with optional knowledge distillation
     (parity with rmbsnn_main.train, :432-500).  ``spec`` may be a DrnSpec or
@@ -172,8 +196,13 @@ def make_cls_train_step(
 
     ``remat`` checkpoints the STUDENT forward's stages (the teacher runs
     under stop_gradient — no activations are saved for it either way).
+
+    ``sparse_plans`` routes the STUDENT's eligible masked convs through
+    the trainable fused block-sparse kernel (DRN specs only; see
+    classifier_forward).
     """
-    fwd = classifier_forward(spec, compute_dtype, remat=remat)
+    fwd = classifier_forward(spec, compute_dtype, remat=remat,
+                             sparse_plans=sparse_plans)
 
     def loss_fn(params, bn_state, images, labels):
         logits, updates = fwd(params, bn_state, images, train=True)
