@@ -47,7 +47,7 @@ def test_autotune_picks_cheapest_qualifying():
     make, calls = _fake_factory(exact, {1: 0.80, 2: 0.90, 4: 0.98, 6: 0.99})
     res = autotune_budget(
         make, [np.zeros((16, 16, 3), np.uint8) + i * 5 for i in range(8)],
-        target_agreement=0.95, batch=8, ks=[1, 2, 4, 6],
+        target_agreement=0.95, batch=8, ks=[1, 2, 4, 6], intervals=(),
     )
     assert res["temporal_budget"] == 4  # first K meeting the floor
     # ascending ladder, stops at the first qualifying candidate
@@ -63,7 +63,7 @@ def test_autotune_falls_back_to_exact():
     make, _ = _fake_factory(exact, {1: 0.5, 2: 0.6})
     res = autotune_budget(
         make, [np.full((8, 8, 3), i, np.uint8) for i in range(4)],
-        target_agreement=0.99, batch=4, ks=[1, 2],
+        target_agreement=0.99, batch=4, ks=[1, 2], intervals=(),
     )
     assert res["temporal_budget"] is None  # nothing met the floor
     assert len(res["table"]) == 2  # the whole ladder was measured
@@ -98,8 +98,12 @@ def test_cli_autotune_serves_with_choice(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     event = next(json.loads(l) for l in out
                  if '"temporal_autotune"' in l)
-    assert event["temporal_budget"] == 1  # cheapest ladder point, floor 0.0
-    assert event["table"][0]["budget"] == 1
+    assert event["temporal_budget"] == 1  # cheapest evaluable point, floor 0
+    assert event["choice"] == "budget1"
+    # the cheaper cadence candidates exceed the 4-frame prefix and are
+    # reported skipped, not silently accepted
+    assert all(r.get("skipped") for r in event["table"]
+               if r["mode"].startswith("interval"))
     result = json.loads(out[-1])
     assert result["frames"] == 8
     assert result["autotune_budget"] == 1
@@ -154,3 +158,70 @@ def test_cli_autotune_shapes_source_covers_prefix(capsys):
     assert event["calib_frames"] == 8  # not truncated to --frames=4
     assert sum('"ids_pack_auto"' in l for l in out) == 1
     assert json.loads(out[-1])["frames"] == 4
+
+
+def test_mode_chooser_picks_cadence_on_slow_content():
+    """Static content: every candidate agrees perfectly, so the chooser
+    must pick the cheapest candidate overall — the N=8 cadence with its
+    free +nearest variant, NOT a budget mode (the round-4 verdict's
+    done-criterion)."""
+    rng = np.random.default_rng(3)
+    exact = [rng.integers(0, 4, (8, 8)).astype(np.int32) for _ in range(16)]
+
+    def make(**kw):
+        return _FakeSeg(exact)
+
+    res = autotune_budget(
+        make, [np.zeros((8, 8, 3), np.uint8) for _ in range(16)],
+        target_agreement=0.99, batch=8,
+    )
+    assert res["choice"] == "interval8+nearest"
+    assert res["choice_kwargs"] == {"temporal_interval": 8,
+                                    "temporal_nearest": True}
+    assert res["temporal_budget"] is None
+    assert len(res["table"]) == 1  # cheapest-first stopped immediately
+
+
+def test_mode_chooser_falls_through_to_budget_on_fast_content():
+    """Fast content: cadence candidates miss the floor, the adaptive
+    budget mode catches it — the chooser walks cheapest-first across
+    both families."""
+    rng = np.random.default_rng(4)
+    exact = [rng.integers(0, 2, (16, 16)).astype(np.int32) for _ in range(16)]
+
+    def make(**kw):
+        if "temporal_interval" in kw:
+            ids = [a.copy() for a in exact]
+            for a in ids:
+                a.ravel()[: a.size // 2] ^= 1  # 50% agreement
+            return _FakeSeg(ids)
+        return _FakeSeg(exact)  # exact baseline and budget candidates
+
+    res = autotune_budget(
+        make, [np.full((16, 16, 3), i * 3, np.uint8) for i in range(16)],
+        target_agreement=0.95, batch=8, ks=[2],
+    )
+    assert res["choice"] == "budget2"
+    assert res["choice_kwargs"]["temporal_budget"] == 2
+    assert res["choice_kwargs"]["temporal_thresh"] == res["temporal_thresh"]
+    # every cheaper-or-equal cadence candidate was measured and rejected
+    rejected = [r for r in res["table"] if r["mode"].startswith("interval")]
+    assert rejected and all(r["agreement"] < 0.95 for r in rejected
+                            if r["agreement"] is not None)
+
+
+def test_candidate_ladder_cheapest_first_order():
+    from tpuseg.video.autotune import candidate_ladder
+
+    cands = candidate_ladder(8)
+    costs = [c["cost"] for c in cands]
+    assert costs == sorted(costs)
+    # at equal cost: nearest-cadence before plain cadence before budget
+    assert [c["mode"] for c in cands[:3]] == [
+        "interval8+nearest", "interval8", "budget1"
+    ]
+    # warp variants only on request, and never first at their cadence
+    assert not any("warp" in c["mode"] for c in cands)
+    warp = candidate_ladder(8, include_warp=True)
+    w8 = [c["mode"] for c in warp if "8" in c["mode"] and "interval" in c["mode"]]
+    assert w8.index("interval8+warp") > w8.index("interval8")

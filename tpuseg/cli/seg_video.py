@@ -162,18 +162,22 @@ def parse_args(argv=None):
                         "beyond-budget changes promote next batch")
     p.add_argument("--temporal-autotune", type=float, default=None,
                    metavar="A",
-                   help="agreement-targeted AUTOTUNING: on a --autotune-"
-                        "frames calibration prefix, run exact serving and "
-                        "a ladder of budgeted configs (threshold from the "
-                        "prefix's own drift scale, budgets ~1/8..3/4 of "
-                        "--batch) and serve with the CHEAPEST one whose "
-                        "ids agreement vs exact is >= A (0..1).  Falls "
-                        "back to exact serving when no candidate "
-                        "qualifies.  Replaces --temporal/--temporal-"
-                        "thresh/--temporal-budget; composes with "
-                        "--quantize, --pr-config-path, --temporal-warp, "
-                        "--temporal-nearest.  Costs one compile per "
-                        "candidate up front (once per stream)")
+                   help="agreement-targeted AUTOTUNING across ALL temporal "
+                        "modes: on a --autotune-frames calibration prefix, "
+                        "run exact serving plus a cheapest-first ladder of "
+                        "fixed-N cadences (N=8/4/2, each with its free "
+                        "+nearest variant) and budgeted configs (threshold "
+                        "from the prefix's own drift scale, budgets "
+                        "~1/8..3/4 of --batch), and serve with the CHEAPEST "
+                        "candidate whose ids agreement vs exact is >= A "
+                        "(0..1).  Falls back to exact serving when no "
+                        "candidate qualifies.  Replaces --temporal/"
+                        "--temporal-thresh/--temporal-budget; composes with "
+                        "--quantize, --pr-config-path; a user-passed "
+                        "--temporal-warp/--temporal-nearest rides every "
+                        "candidate.  Costs one compile per evaluated "
+                        "candidate up front (once per stream; cheapest-"
+                        "first stops early on slow content)")
     p.add_argument("--autotune-frames", type=int, default=32, metavar="M",
                    help="calibration prefix length for --temporal-autotune "
                         "(>= --batch; longer prefixes sample more of the "
@@ -276,7 +280,8 @@ def open_frames(args, h: int, w: int, *, resized: bool, fmt: str = "rgb"):
         getattr(args, "calibrate", 0) or 0,
         # autotune consumes a calibration prefix of its own — generate
         # enough synthetic frames for it (real videos stream regardless)
-        (max(getattr(args, "autotune_frames", 0) or 0, args.batch)
+        (max(getattr(args, "autotune_frames", 0) or 0,
+             getattr(args, "batch", 1))
          if getattr(args, "temporal_autotune", None) is not None else 0),
         1,
     )
@@ -386,11 +391,21 @@ def main(argv=None):
         autotune_res = autotune_budget(
             _make_segmenter, cal_frames,
             target_agreement=args.temporal_autotune, batch=args.batch,
+            # a user-forced --temporal-nearest already rides every
+            # candidate via the setdefault above; generating explicit
+            # +nearest variants would duplicate them
+            include_nearest=not args.temporal_nearest,
         )
         print(json.dumps({"event": "temporal_autotune", **autotune_res}))
-        if autotune_res["temporal_budget"] is not None:
-            args.temporal_thresh = autotune_res["temporal_thresh"]
-            args.temporal_budget = autotune_res["temporal_budget"]
+        ck = autotune_res["choice_kwargs"]
+        if ck:
+            args.temporal = ck.get("temporal_interval", 1)
+            args.temporal_thresh = ck.get("temporal_thresh")
+            args.temporal_budget = ck.get("temporal_budget")
+            args.temporal_nearest = (args.temporal_nearest
+                                     or ck.get("temporal_nearest", False))
+            args.temporal_warp = (args.temporal_warp
+                                  or ck.get("temporal_warp", False))
         else:
             # exact serving: warp/nearest only apply to temporal modes
             args.temporal_warp = False
@@ -458,6 +473,7 @@ def main(argv=None):
             line["temporal_nearest"] = True
     if autotune_res is not None:
         line["autotune_target"] = args.temporal_autotune
+        line["autotune_choice"] = autotune_res["choice"]
         line["autotune_budget"] = autotune_res["temporal_budget"]
     if args.temporal_thresh is not None:
         line["temporal_thresh"] = args.temporal_thresh
