@@ -2,11 +2,21 @@
 """Headline benchmark: DRN-D-22 video segmentation throughput at 1024x2048
 on one TPU chip (the reference's north-star workload, seg_video*).
 
-Prints ONE JSON line:
-  {"metric": "seg_video_fps_1024x2048", "value": N, "unit": "fps",
-   "vs_baseline": N / 60.0}
+Prints one JSON line per compression-stack mode (``"event": "bench_mode"``,
+measured via VideoSegmenter.benchmark_device_fps — the serving CLI's own
+program — with ratios against the same-session dense sibling), then the
+FINAL line the driver parses:
 
-Baseline: 60 fps at 1024x2048 (BASELINE.md target for one v5e chip).
+  {"metric": "seg_video_fps_1024x2048", "value": N, "unit": "fps",
+   "vs_baseline": N / 60.0, "modes": [...]}
+
+``value`` is the dense-exact headline (comparable to every prior round's
+record); ``modes`` embeds the whole stack — dense exact, block-sparse
+(block128reg 87.5%, gathered exact lowering), int8+stem PTQ, sparse+int8,
+and sparse+int8+budgeted-temporal — so the driver-captured BENCH record
+witnesses the differentiators, not just the dense floor (round-4 verdict
+task 2).  Baseline: 60 fps at 1024x2048 (BASELINE.md target for one v5e
+chip).  Set TPUSEG_BENCH_MODES=dense to skip the mode sweep.
 
 Method: the full per-frame program (normalize -> DRNSeg forward (bf16) ->
 fused upsample+argmax -> uint8 ids) runs as one jitted device program over a
@@ -65,6 +75,91 @@ def main_with_retries():
     sys.stderr.write(err)
     print("bench: backend unavailable after all retries", file=sys.stderr)
     return 1
+
+
+def run_modes(BATCH, H, W):
+    """Device rate of every headline compression mode, same session, via
+    the serving pipeline's own scan harness (benchmark_device_fps).  Each
+    mode is isolated: a failure records an error row and the sweep (and
+    the already-printed dense headline) survives."""
+    import jax.numpy as jnp
+
+    from tpuseg.data.shapes import shapes_video
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.sparse_exec import build_sparse_plans
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.sparsity import apply_masks, create_masker
+    from tpuseg.video import VideoSegmenter
+
+    MEAN, STD = [0.290, 0.328, 0.287], [0.183, 0.187, 0.184]
+    cfg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "optimal_configs", "drn_d_22", "drn_d_22_block128reg_87.50.json",
+    )
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    masker = create_masker(cfg, seed=0)
+    masks = masker.generate_masks(params, is_static=True, verbose=False)
+    sparams = dict(apply_masks(params, masks))
+    plans, _report = build_sparse_plans(
+        fold_bn(sparams, state, spec), masks, spec)
+    calib = list(shapes_video(8, (H, W), seed=0)[0])
+
+    def seg(params_=None, **kw):
+        return VideoSegmenter(
+            params_ if params_ is not None else params, state, spec,
+            MEAN, STD, compute_dtype=jnp.bfloat16, batch=BATCH, **kw,
+        )
+
+    modes = []
+
+    def measure(name, make, adaptive_frames=None):
+        try:
+            s = make()
+            if adaptive_frames is not None:
+                r = s.benchmark_adaptive_device_fps(adaptive_frames)
+                row = {"mode": name, "device_fps": round(r["device_fps"], 1),
+                       "promotion_rate": round(r["promotion_rate"], 3)}
+            else:
+                row = {"mode": name,
+                       "device_fps": round(s.benchmark_device_fps((H, W)), 1)}
+        except Exception as e:  # noqa: BLE001 — per-mode isolation
+            row = {"mode": name, "error": f"{type(e).__name__}: {e}"[:300]}
+        modes.append(row)
+        print(json.dumps({"event": "bench_mode", **row}), flush=True)
+        return row
+
+    dense = measure("dense_exact", seg)
+    measure("sparse_block128reg_87.5",
+            lambda: seg(sparams, exec_plans=plans))
+    measure("int8_stem",
+            lambda: seg(quantize=True, quantize_stem=True,
+                        calib_frames=calib))
+    measure("sparse_int8",
+            lambda: seg(sparams, exec_plans=plans, quantize=True,
+                        calib_frames=calib))
+    # composed stack on synthetic moving content (self-contained — the
+    # budgeted mode's rate is content-dependent, so it needs real frames)
+    try:
+        frames = list(shapes_video(2 * BATCH, (H, W), seed=1)[0])
+        from tpuseg.video.autotune import drift_threshold
+
+        thresh, _ = drift_threshold(frames)
+        measure(
+            f"sparse_int8_budget{max(1, BATCH // 4)}",
+            lambda: seg(sparams, exec_plans=plans, quantize=True,
+                        calib_frames=calib, temporal_thresh=thresh,
+                        temporal_budget=max(1, BATCH // 4)),
+            adaptive_frames=frames,
+        )
+    except Exception as e:  # noqa: BLE001
+        modes.append({"mode": "sparse_int8_budget",
+                      "error": f"{type(e).__name__}: {e}"[:300]})
+    if "device_fps" in dense:
+        for row in modes[1:]:
+            if "device_fps" in row:
+                row["ratio_vs_dense"] = round(
+                    row["device_fps"] / dense["device_fps"], 3)
+    return modes
 
 
 def main():
@@ -160,6 +255,10 @@ def main():
     best = min(times)
     fps = (BATCH * INNER) / best
 
+    modes = []
+    if os.environ.get("TPUSEG_BENCH_MODES", "full") != "dense":
+        modes = run_modes(BATCH, H, W)
+
     print(
         json.dumps(
             {
@@ -168,6 +267,7 @@ def main():
                 "unit": "fps",
                 "batch": BATCH,
                 "vs_baseline": round(fps / 60.0, 3),
+                **({"modes": modes} if modes else {}),
             }
         )
     )

@@ -156,6 +156,7 @@ def shard_train_step(
     train_step: Callable,
     mesh: Mesh,
     donate_state: bool = True,
+    spatial: bool = False,
 ) -> Callable:
     """Compile a train step for data parallelism over ``mesh``.
 
@@ -163,9 +164,16 @@ def shard_train_step(
     the batch axis.  The loss is a mean over the global batch, so XLA emits
     one all-reduce for the grads — the moral equivalent of DDP's bucketed
     NCCL all-reduce, but fused and ICI-routed.
+
+    ``spatial=True`` additionally shards the image/label H dimension over
+    the mesh's ``spatial`` axis (for crops whose training activations
+    exceed one chip's HBM); XLA SPMD inserts the conv halo exchanges and
+    keeps the loss a global mean, so gradients are identical to the
+    unsharded step up to float associativity.
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P("data", "spatial") if spatial
+                         else P("data"))
     return jax.jit(
         train_step,
         in_shardings=(repl, data, data),

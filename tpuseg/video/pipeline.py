@@ -32,6 +32,19 @@ from tpuseg.models.drn import DrnSpec
 from tpuseg.models.drnseg import drnseg_forward
 
 
+def _plan_gspmd_safe(plan) -> bool:
+    """True when a per-conv execution plan lowers to pure XLA ops (so
+    GSPMD can partition it over a serving mesh).  Pallas-backed plans are
+    opaque custom calls and must stay single-device."""
+    from tpuseg.ops.gathered_conv import GatheredGroupConv, GatheredGroupConvQ
+    from tpuseg.ops.quant import QuantConv
+    from tpuseg.ops.rbgp_matmul import RbgpPlan
+
+    return isinstance(
+        plan, (GatheredGroupConv, GatheredGroupConvQ, QuantConv, RbgpPlan)
+    )
+
+
 class FrameSource:
     """Decode frames from a video file, resized to (height, width) RGB uint8
     (reference: FrameCapture decode loop, seg_video.py:113-139).
@@ -783,9 +796,18 @@ class VideoSegmenter:
                 "adaptive temporal reuse is sequential frame-to-frame; "
                 "use interval mode or a single device"
             )
-            assert exec_plans is None, (
-                "Pallas exec plans are opaque to the GSPMD partitioner; "
-                "serve compressed models single-device"
+            # compression composes with the mesh when every plan lowers to
+            # pure XLA (gathered/grouped convs, RBGP, int8 QuantConv):
+            # GSPMD partitions those like any conv.  Pallas-backed plans
+            # (FusedSparseConv(Q), CompactSparse(Q)) are opaque custom
+            # calls the partitioner cannot split — reject only those.
+            unsafe = [k for k, p in (exec_plans or {}).items()
+                      if not _plan_gspmd_safe(p)]
+            assert not unsafe, (
+                "Pallas-backed exec plans are opaque to the GSPMD "
+                f"partitioner: {sorted(unsafe)}; use the gathered lowering "
+                "(--sparse-lowering gathered, the CLI default) or serve "
+                "single-device"
             )
             assert batch % n_dev == 0, (
                 f"batch {batch} must divide over the {n_dev}-device mesh"
