@@ -41,6 +41,10 @@ import numpy as np
 # is only ever a real measurement — on final failure we exit nonzero.
 RETRY_BACKOFFS_S = (60, 120, 240, 300, 300)
 
+# monotonic start of THIS process: the inner attempt measures its own
+# elapsed time against the wrapper's 2400s subprocess timeout
+_T_START = time.monotonic()
+
 
 def main_with_retries():
     env = dict(os.environ, TPUSEG_BENCH_INNER="1")
@@ -77,11 +81,14 @@ def main_with_retries():
     return 1
 
 
-def run_modes(BATCH, H, W):
+def run_modes(BATCH, H, W, deadline_s=None):
     """Device rate of every headline compression mode, same session, via
     the serving pipeline's own scan harness (benchmark_device_fps).  Each
     mode is isolated: a failure records an error row and the sweep (and
-    the already-printed dense headline) survives."""
+    the already-printed dense headline) survives.  ``deadline_s`` is a
+    monotonic-clock deadline: modes that would start past it are recorded
+    skipped so the retry wrapper's 2400s attempt timeout can never eat
+    the whole record."""
     import jax.numpy as jnp
 
     from tpuseg.data.shapes import shapes_video
@@ -101,7 +108,8 @@ def run_modes(BATCH, H, W):
     masks = masker.generate_masks(params, is_static=True, verbose=False)
     sparams = dict(apply_masks(params, masks))
     plans, _report = build_sparse_plans(
-        fold_bn(sparams, state, spec), masks, spec)
+        fold_bn(sparams, state, spec), masks, spec,
+        lowering="gathered", gathered_mode="exact")  # the CLI default
     calib = list(shapes_video(8, (H, W), seed=0)[0])
 
     def seg(params_=None, **kw):
@@ -113,6 +121,11 @@ def run_modes(BATCH, H, W):
     modes = []
 
     def measure(name, make, adaptive_frames=None):
+        if deadline_s is not None and time.monotonic() > deadline_s:
+            row = {"mode": name, "skipped": "time budget"}
+            modes.append(row)
+            print(json.dumps({"event": "bench_mode", **row}), flush=True)
+            return row
         try:
             s = make()
             if adaptive_frames is not None:
@@ -257,7 +270,11 @@ def main():
 
     modes = []
     if os.environ.get("TPUSEG_BENCH_MODES", "full") != "dense":
-        modes = run_modes(BATCH, H, W)
+        # leave >=5 min of the retry wrapper's 2400s attempt budget as
+        # slack: a mode that would start after the deadline is skipped,
+        # not allowed to push the whole attempt into the timeout
+        modes = run_modes(BATCH, H, W,
+                          deadline_s=_T_START + (2400 - 420))
 
     print(
         json.dumps(

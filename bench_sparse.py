@@ -822,6 +822,165 @@ def bench_train():
         }))
 
 
+def bench_conv1split():
+    """Round-5 frontend probe (round-4 verdict #7): phase-aware splitting
+    of the folded stem conv1.
+
+    The f=4 polyphase fold turns conv1 (3x3 s1 16->16 full-res) into a
+    (3,3) 256->256 conv on the quarter grid whose weight is 1/16 dense —
+    the 16x zero-pad overcompute is the price of full MXU lanes
+    (PERF_NOTES frame table: 0.86 ms at MXU peak).  The fold's phase
+    structure is separable: output phase a needs m-taps {0} for a in
+    {1,2}, {-1,0} for a=0, {0,1} for a=3 (same on the other axis).
+    Splitting output phases into groups with exact kernels cuts padded
+    FLOPs 2x (1D split: (1,3)x128 + two (2,3)x64, 77.4 GF) or 4x (2D
+    split: 9 convs, 38.7 GF) — at the cost of thinner outputs (the
+    m-split dead end's failure mode) and more dispatches.  The channel
+    order of the concatenated outputs is a fixed permutation that folds
+    into conv2's input channels for free, so recombination costs nothing
+    (unlike dead-end #6's adds).  This probe measures conv1 alone,
+    chained-scan, all variants, and numerics vs the dense fold.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.ops.polyphase import FusedStage3Frontend
+
+    INNER = 32
+    Hq, Wq = 256, 512  # 1024x2048 on the f=4 grid
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    folded = fold_bn(params, state, spec)
+    stem = FusedStage3Frontend(
+        folded, normalize=([0.290, 0.328, 0.287], [0.183, 0.187, 0.184]))
+    wp, bias, lo, hi = stem.convs[1]  # folded conv1: (3,3,256,256)
+    wp = np.asarray(wp, np.float32)
+    assert wp.shape == (3, 3, 256, 256) and (lo, hi) == (1, 1), (
+        wp.shape, lo, hi)
+    f, C = 4, 16
+
+    def phase_cols(avals, bvals):
+        cols = [
+            (a * f + b) * C + k
+            for a in avals for b in bvals for k in range(C)
+        ]
+        return np.asarray(cols, np.int64)
+
+    # tap sets per phase-type on one axis: (tap indices into the folded
+    # kernel dim, pad_lo, pad_hi)
+    AXIS = {
+        "mid": ((1,), 0, 0),       # a in {1,2}: m = 0 only
+        "lo": ((0, 1), 1, 0),      # a = 0: m in {-1, 0}
+        "hi": ((1, 2), 0, 1),      # a = 3: m in {0, 1}
+    }
+    PHASES = {"mid": (1, 2), "lo": (0,), "hi": (3,)}
+
+    def group_conv(x, rows, cols_sel, rt, ct):
+        taps_r, plo_r, phi_r = AXIS[rt]
+        taps_c, plo_c, phi_c = AXIS[ct]
+        w = wp[np.ix_(taps_r, taps_c)][:, :, :, cols_sel]
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(w, x.dtype), (1, 1),
+            [(plo_r, phi_r), (plo_c, phi_c)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def split_fwd(x, types_r, types_c):
+        outs, cols_all = [], []
+        for rt in types_r:
+            for ct in types_c:
+                cols = phase_cols(PHASES[rt], PHASES[ct])
+                outs.append(group_conv(x, None, cols, rt, ct))
+                cols_all.append(cols)
+        y = jnp.concatenate(outs, axis=-1)
+        perm = np.argsort(np.concatenate(cols_all))
+        return y, perm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(1, Hq, Wq, 256)).astype(np.float32) * 0.1,
+        jnp.bfloat16)
+
+    def dense_fwd(xx):
+        return jax.lax.conv_general_dilated(
+            xx, jnp.asarray(wp, xx.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # numerics: the split output (permuted back) must equal the dense fold
+    y_ref = np.asarray(dense_fwd(x), np.float32)
+    for name, (tr, tc) in (
+            ("split1d", (("lo", "mid", "hi"), ("mid",))),
+            ("split2d", (("lo", "mid", "hi"), ("lo", "mid", "hi")))):
+        if name == "split1d":
+            # 1D: split rows only; columns keep the full (.,3) structure
+            outs = []
+            cols_all = []
+            for rt in ("lo", "mid", "hi"):
+                cols = phase_cols(PHASES[rt], range(f))
+                taps_r, plo_r, phi_r = AXIS[rt]
+                w = wp[np.ix_(taps_r, (0, 1, 2))][:, :, :, cols]
+                outs.append(jax.lax.conv_general_dilated(
+                    x, jnp.asarray(w, x.dtype), (1, 1),
+                    [(plo_r, phi_r), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
+                cols_all.append(cols)
+            y = jnp.concatenate(outs, axis=-1)
+            perm = np.argsort(np.concatenate(cols_all))
+        else:
+            y, perm = split_fwd(x, ("lo", "mid", "hi"), ("lo", "mid", "hi"))
+        err = np.abs(np.asarray(y, np.float32)[..., perm] - y_ref).max()
+        scale = np.abs(y_ref).max()
+        assert err < 0.02 * scale + 1e-3, (name, err, scale)
+        print(json.dumps({"metric": f"conv1split/{name}_numerics_ok",
+                          "max_abs_err": float(err)}))
+
+    def timeit(fn):
+        @jax.jit
+        def loop(xx):
+            def body(c, _):
+                y = fn(c)
+                return y[..., :256].astype(c.dtype), ()
+            o, _ = jax.lax.scan(body, xx, None, length=INNER)
+            return o
+        o = loop(x)
+        float(np.asarray(o.astype(jnp.float32)).sum())
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = loop(x)
+            float(np.asarray(o.astype(jnp.float32)).sum())
+            best = min(best, (time.perf_counter() - t0) / INNER)
+        return best
+
+    def fwd_1d(xx):
+        outs = []
+        for rt in ("lo", "mid", "hi"):
+            cols = phase_cols(PHASES[rt], range(f))
+            taps_r, plo_r, phi_r = AXIS[rt]
+            w = wp[np.ix_(taps_r, (0, 1, 2))][:, :, :, cols]
+            outs.append(jax.lax.conv_general_dilated(
+                xx, jnp.asarray(w, xx.dtype), (1, 1),
+                [(plo_r, phi_r), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        return jnp.concatenate(outs, axis=-1)
+
+    def fwd_2d(xx):
+        return split_fwd(xx, ("lo", "mid", "hi"), ("lo", "mid", "hi"))[0]
+
+    t_dense = timeit(dense_fwd)
+    t_1d = timeit(fwd_1d)
+    t_2d = timeit(fwd_2d)
+    print(json.dumps({
+        "metric": "conv1split_ms",
+        "dense": round(t_dense * 1e3, 3),
+        "split1d": round(t_1d * 1e3, 3),
+        "split2d": round(t_2d * 1e3, 3),
+        "speedup_1d": round(t_dense / t_1d, 3),
+        "speedup_2d": round(t_dense / t_2d, 3),
+    }))
+
+
 def bench_trainer():
     """FULL seg trainer step on-chip: make_seg_train_step dense-masked vs
     --sparse-exec (sparse_plans from build_sparse_train_structs), the path
@@ -896,7 +1055,8 @@ if __name__ == "__main__":
     if ("--fused-only" not in sys.argv and "--model" not in sys.argv
             and "--train" not in sys.argv and "--gathered" not in sys.argv
             and "--rmcdb" not in sys.argv and "--layout" not in sys.argv
-            and "--frontend" not in sys.argv and "--trainer" not in sys.argv):
+            and "--frontend" not in sys.argv and "--trainer" not in sys.argv
+            and "--conv1split" not in sys.argv):
         main()
     if ("--fused" in sys.argv or "--fused-only" in sys.argv
             or "--fused-appendix" in sys.argv):
@@ -915,3 +1075,5 @@ if __name__ == "__main__":
         bench_train()
     if "--trainer" in sys.argv:
         bench_trainer()
+    if "--conv1split" in sys.argv:
+        bench_conv1split()

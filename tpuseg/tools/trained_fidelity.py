@@ -129,6 +129,7 @@ def _train_seg_model(
     seed: int,
     log_prefix: str,
     keep_best: bool = False,
+    sparse_exec: bool = False,
 ):
     """SGD-train (params, state) on fresh shapes scenes; returns
     (params, bn_state, curve) where curve is [(step, val_miou), ...].
@@ -146,7 +147,19 @@ def _train_seg_model(
     import jax
 
     tx = make_sgd(lr, momentum=0.9, weight_decay=1e-4)
-    train_step = jax.jit(make_seg_train_step(spec, tx))
+    sparse_plans = None
+    if sparse_exec and masks is not None:
+        # recovery through the REAL sparse train step (--sparse-exec):
+        # the same fused-kernel path `semantic_seg train --sparse-exec`
+        # runs, so the recovered-mIoU story covers the productized loop
+        from tpuseg.ops.sparse_train import build_sparse_train_structs
+
+        sparse_plans, report = build_sparse_train_structs(masks, spec)
+        n = sum(1 for v in report.values() if v.startswith("sparse-train"))
+        print(f"{log_prefix}: sparse-exec on {n} eligible layers")
+        sparse_plans = sparse_plans or None
+    train_step = jax.jit(
+        make_seg_train_step(spec, tx, sparse_plans=sparse_plans))
     eval_step = jax.jit(make_eval_step(spec, "seg"))
     st = create_train_state(params, state, tx, masks=masks)
     rng = np.random.default_rng(seed)
@@ -441,11 +454,14 @@ def stage_compress(args) -> None:
             eval_every=args.eval_every,
             seed=args.seed + 3,
             log_prefix=f"recover[{name}]",
+            sparse_exec=getattr(args, "sparse_exec", False),
         )
         results[name] = {
             "miou_at_mask": round(at_mask, 4),
             "recovery_curve": curve,
             "miou_recovered": curve[-1][1] if curve else None,
+            **({"sparse_exec": True}
+               if getattr(args, "sparse_exec", False) else {}),
         }
         print(f"compress {name}: {results[name]}")
     _append_report(
@@ -830,6 +846,12 @@ def main(argv=None):
     p.add_argument("--variants", default=None,
                    help="comma list restricting the compress-stage mask "
                         "variants (default: all)")
+    p.add_argument("--sparse-exec", action="store_true",
+                   help="compress stage: run mask recovery through the "
+                        "REAL fused-kernel sparse train step (the "
+                        "`semantic_seg train --sparse-exec` path) instead "
+                        "of masked-dense — eligible layers only, see "
+                        "tpuseg.ops.sparse_train")
     p.add_argument("--modes", default=None,
                    help="comma list restricting the fidelity mode matrix "
                         "(exact always runs as the baseline)")
