@@ -942,14 +942,14 @@ def bench_conv1split():
                 y = fn(c)
                 return y[..., :256].astype(c.dtype), ()
             o, _ = jax.lax.scan(body, xx, None, length=INNER)
-            return o
-        o = loop(x)
-        float(np.asarray(o.astype(jnp.float32)).sum())
+            # scalar probe computed ON DEVICE: fetching the full tensor
+            # would charge ~3 s of D2H to every rep on the tunneled link
+            return o[0, 0, 0, 0].astype(jnp.float32)
+        float(np.asarray(loop(x)))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            o = loop(x)
-            float(np.asarray(o.astype(jnp.float32)).sum())
+            float(np.asarray(loop(x)))
             best = min(best, (time.perf_counter() - t0) / INNER)
         return best
 
