@@ -128,25 +128,46 @@ def pack_vals(w_hwio: jax.Array, st: SparseTrainStruct,
               dtype=jnp.bfloat16) -> jax.Array:
     """Differentiable packing: dense HWIO weights -> (nmb, T*S*bk, bm).
 
-    A static gather + structural zeroing; its autodiff VJP scatters value
-    gradients back onto the dense weight tensor (zero off-support).
+    Static 2-D slices + concat + structural zeroing; the autodiff VJP
+    scatters value gradients back onto the dense weight tensor (zero
+    off-support).
+
+    Construction constraints, both MEASURED on v5e:
+    - st.rows is host numpy and indexed with PYTHON ints so XLA sees pure
+      static slices (an elementwise take_along_axis compiled to a generic
+      gather whose VJP scatter cost ~13 ms/step — 4x the whole sparse
+      fwd+bwd).
+    - the result must be built WITHOUT any >=3-D transpose: a
+      reshape(T,nkb,bk,nmb,bm).transpose(3,0,1,2,4) spelling made XLA
+      assign the Mosaic kernel's vals operand a non-default layout under
+      jit, which the custom call silently misreads — eager and interpret
+      paths were exact while the jitted train step produced garbage for
+      support patterns like rows=[1,0] (round-5 chip bisection,
+      docs/PERF_NOTES.md "Mosaic operand layout").  Slice+concat of 2-D
+      blocks keeps every intermediate in default layout by construction.
     """
     kh = st.kernel
     T = kh * kh
-    nkb, nmb = st.cin // st.bk, st.cout // st.bm
-    w4 = w_hwio.reshape(T, nkb, st.bk, nmb, st.bm)
-    w4 = w4.transpose(3, 0, 1, 2, 4)                     # (nmb, T, nkb, bk, bm)
-    # st.rows is host-side numpy: index with PYTHON ints so XLA sees pure
-    # static slices + concat.  The elementwise take_along_axis this
-    # replaces compiled to a generic gather whose VJP scatter cost ~13 ms
-    # per train step on v5e — 4x the entire sparse fwd+bwd (measured).
-    vals = jnp.stack([
-        jnp.stack([w4[j, :, int(st.rows[j, si])] for si in range(st.s)],
-                  axis=1)                                # (T, S, bk, bm)
-        for j in range(nmb)
-    ])                                                   # (nmb, T, S, bk, bm)
-    vals = vals * jnp.asarray(st.nzsel)[:, :, :, None, None]
-    return vals.reshape(nmb, T * st.s * st.bk, st.bm).astype(dtype)
+    nmb = st.cout // st.bm
+    w2 = w_hwio.reshape(T, st.cin, st.cout)
+    zero = None
+    blocks = []
+    for j in range(nmb):
+        rows_j = []
+        for t in range(T):
+            for s in range(st.s):
+                if float(st.nzsel[j, t, s]) == 0.0:
+                    if zero is None:
+                        zero = jnp.zeros((st.bk, st.bm), w2.dtype)
+                    rows_j.append(zero)
+                    continue
+                k = int(st.rows[j, s])
+                rows_j.append(
+                    w2[t, k * st.bk:(k + 1) * st.bk,
+                       j * st.bm:(j + 1) * st.bm]
+                )
+        blocks.append(jnp.concatenate(rows_j, axis=0))
+    return jnp.stack(blocks).astype(dtype)
 
 
 def _fwd_plan(vals: jax.Array, st: SparseTrainStruct) -> FusedSparseConv:
@@ -159,21 +180,32 @@ def _fwd_plan(vals: jax.Array, st: SparseTrainStruct) -> FusedSparseConv:
 
 
 def _transpose_vals(vals: jax.Array, st: SparseTrainStruct) -> jax.Array:
-    """Statically re-index fwd packed vals into the dgrad (transposed) packing."""
+    """Statically re-index fwd packed vals into the dgrad (transposed)
+    packing.
+
+    Same two construction constraints as pack_vals: static slices only
+    (gather_t is host numpy; the sentinel selects the zero block), and NO
+    >=3-D transpose on the path to the Mosaic kernel operand — each block
+    is transposed as a 2-D slice and the result assembled by concat+stack
+    (see pack_vals's layout note)."""
     T = st.kernel * st.kernel
     nmb = st.cout // st.bm
     nkb = st.cin // st.bk
-    v = vals.reshape(nmb * T * st.s, st.bk, st.bm)
-    zero = jnp.zeros((st.bk, st.bm), v.dtype)
     n_src = nmb * T * st.s
-    # static re-index (gather_t is host numpy; the sentinel selects the
-    # zero block) — a stack of static slices, not a device gather
-    vt = jnp.stack([
-        v[gi] if (gi := int(g)) < n_src else zero
-        for g in st.gather_t.reshape(-1)
-    ])                                                  # (nkb*T*St, bk, bm)
-    vt = vt.transpose(0, 2, 1)                          # block transpose
-    return vt.reshape(nkb, T * st.st * st.bm, st.bk)
+    zero = jnp.zeros((st.bm, st.bk), vals.dtype)
+    blocks = []
+    for g in st.gather_t.reshape(-1):
+        gi = int(g)
+        if gi < n_src:
+            kp, rem = divmod(gi, T * st.s)
+            sl = vals[kp, rem * st.bk:(rem + 1) * st.bk, :]  # (bk, bm)
+            blocks.append(sl.T)
+        else:
+            blocks.append(zero)
+    per = T * st.st
+    rows = [jnp.concatenate(blocks[i * per:(i + 1) * per], axis=0)
+            for i in range(nkb)]
+    return jnp.stack(rows)                     # (nkb, T*St*bm, bk)
 
 
 def _bwd_plan(vals_t: jax.Array, st: SparseTrainStruct) -> FusedSparseConv:
