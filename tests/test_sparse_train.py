@@ -164,3 +164,44 @@ def test_pack_vals_roundtrip_gradient():
     assert float(jnp.abs(g * (1 - jnp.asarray(mask))).max()) == 0.0
     np.testing.assert_allclose(np.asarray(g), np.asarray(2 * w * mask),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sparse_exec_composes_with_remat():
+    """--sparse-exec + --remat: the rematerialized backward replays the
+    pack + fused kernel inside jax.checkpoint; one train step must match
+    the non-remat sparse step (CPU path is exact replay — bitwise-level
+    tolerance)."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.ops.sparse_train import build_sparse_train_structs
+    from tpuseg.sparsity.base import hwio_to_oihw, oihw_to_hwio
+    from tpuseg.sparsity.block import BlockConfig, prune_as_block
+    from tpuseg.train import create_train_state, make_seg_train_step, make_sgd
+
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    layers = ["layer.6.0.conv1.weight", "layer.7.0.weight"]
+    masks = {}
+    for name in layers:
+        w = hwio_to_oihw(np.asarray(params[name]))
+        m = prune_as_block(
+            w, BlockConfig(0.75, 128, 128, -1, -1, collapse_tensor=False))
+        masks[name] = oihw_to_hwio(m).astype(np.float32)
+    structs, _ = build_sparse_train_structs(masks, spec)
+    tx = make_sgd(lambda _: 0.005, 0.9, 1e-4)
+    rng = np.random.default_rng(9)
+    im = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    lb = jnp.asarray(rng.integers(0, 19, size=(2, 64, 64)).astype(np.int32))
+
+    outs = {}
+    for name, remat in (("plain", False), ("remat", True)):
+        ts = create_train_state(params, state, tx, masks)
+        step = jax.jit(make_seg_train_step(
+            spec, tx, compute_dtype=None, sparse_plans=structs, remat=remat))
+        ts, m = step(ts, im, lb)
+        outs[name] = (float(m["loss"]), ts)
+    np.testing.assert_allclose(outs["remat"][0], outs["plain"][0], rtol=1e-6)
+    for k in outs["plain"][1].params:
+        np.testing.assert_allclose(
+            np.asarray(outs["remat"][1].params[k]),
+            np.asarray(outs["plain"][1].params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k)
