@@ -193,3 +193,28 @@ def test_cli_train_mesh_masks_remat_matches_single(tmp_path):
         )
     for k in m1:
         np.testing.assert_array_equal(np.asarray(m8[k]), np.asarray(m1[k]))
+
+
+def test_mesh_rejects_pallas_plans_with_valueerror():
+    """Pallas-backed exec plans are opaque custom calls GSPMD cannot
+    partition; serving over a mesh must reject them with a catchable
+    ValueError (not a bare assert, which -O strips) that points at the
+    gathered lowering."""
+    from tpuseg.models import init_drnseg
+    from tpuseg.models.sparse_exec import build_sparse_plans
+    from tpuseg.ops.fold_bn import fold_bn
+    from tpuseg.sparsity import apply_masks
+    from tpuseg.video import VideoSegmenter
+
+    mesh = _mesh8()
+    params, state, spec = init_drnseg(0, "drn_d_22", 19)
+    layers = ["layer.6.0.conv1.weight"]
+    masks = _coarse_masks(params, layers, 0.875)
+    params = dict(apply_masks(params, masks))
+    folded = fold_bn(params, state, spec)
+    plans, report = build_sparse_plans(
+        folded, masks, spec, dtype=jnp.float32, lowering="pallas")
+    assert plans, report
+    with pytest.raises(ValueError, match="gathered"):
+        VideoSegmenter(params, state, spec, MEAN, STD, mesh=mesh,
+                       compute_dtype=None, batch=8, exec_plans=plans)

@@ -803,12 +803,13 @@ class VideoSegmenter:
             # calls the partitioner cannot split — reject only those.
             unsafe = [k for k, p in (exec_plans or {}).items()
                       if not _plan_gspmd_safe(p)]
-            assert not unsafe, (
-                "Pallas-backed exec plans are opaque to the GSPMD "
-                f"partitioner: {sorted(unsafe)}; use the gathered lowering "
-                "(--sparse-lowering gathered, the CLI default) or serve "
-                "single-device"
-            )
+            if unsafe:
+                raise ValueError(
+                    "Pallas-backed exec plans are opaque to the GSPMD "
+                    f"partitioner: {sorted(unsafe)}; use the gathered "
+                    "lowering (--sparse-lowering gathered, the CLI "
+                    "default) or serve single-device"
+                )
             assert batch % n_dev == 0, (
                 f"batch {batch} must divide over the {n_dev}-device mesh"
             )
