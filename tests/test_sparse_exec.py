@@ -130,3 +130,48 @@ def test_quantized_sparse_plans_forward():
     ids_ref = np.asarray(jnp.argmax(ref, -1))
     ids_q = np.asarray(jnp.argmax(out, -1))
     assert (ids_ref == ids_q).mean() > 0.95
+
+
+def test_gathered_1x1_eligibility_rule():
+    """1x1 convs lower via gathered only when the gather is nearly free
+    (block density <= GATHER_1X1_MAX_DENSITY) or exact mode can skip dead
+    out-blocks — measured on-chip rule (PERF_NOTES round 5 "1x1 gathered
+    eligibility": all-1x1 serving is 0.92x dense on DRN-D-54; the rule
+    lifts block128reg serving 1.17x -> 1.52x, raw block128 unchanged)."""
+    import os
+
+    from conftest import VENDORED_CONFIGS
+    from tpuseg.ops.gathered_conv import GatheredGroupConv
+    from tpuseg.sparsity import create_masker
+
+    params, state, spec = init_drnseg(0, "drn_d_54", 19)
+
+    def plans_for(cfg_name):
+        cfg = os.path.join(VENDORED_CONFIGS, "drn_d_54", cfg_name)
+        masker = create_masker(cfg, seed=0)
+        masks = masker.generate_masks(params, is_static=True, verbose=False)
+        masked = dict(apply_masks(params, masks))
+        folded = fold_bn(masked, state, spec)
+        return build_sparse_plans(folded, masks, spec, lowering="gathered",
+                                  gathered_mode="exact"), masked
+
+    (plans, report), masked = plans_for("drn_d_54_block128reg_87.50.json")
+
+    def k(name):
+        return int(np.asarray(masked[name + ".weight"]).shape[0])
+
+    ones = {n: p for n, p in plans.items()
+            if isinstance(p, GatheredGroupConv) and k(n) == 1}
+    # reg N:M geometry: no dead out-blocks, so only density<=0.13 1x1s stay
+    assert ones, "expected some low-density 1x1 plans to survive"
+    for n, p in ones.items():
+        assert p.block_density <= 0.13, (n, p.block_density)
+    # the mid/high-density 1x1s are reported dense with the rule's reason
+    excluded = [n for n, r in report.items()
+                if "1x1 gather unpaid" in str(r)]
+    assert len(excluded) >= 10, (len(excluded), report)
+    # raw BlockPruner geometry: dead out-blocks keep every 1x1 lowered
+    (plans_raw, report_raw), masked_raw = plans_for(
+        "drn_d_54_block128_87.50.json")
+    assert not any("1x1 gather unpaid" in str(r)
+                   for r in report_raw.values()), report_raw

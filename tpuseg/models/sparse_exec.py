@@ -28,6 +28,12 @@ import jax.numpy as jnp
 from tpuseg.models.drn import DrnSpec
 from tpuseg.ops.sparse_conv import FusedSparseConv, plan_fused_sparse_conv
 
+# Max live-block density at which a 1x1 conv still pays for the gathered
+# lowering's activation gather (no tap loop amortizes it — see the
+# eligibility comment in build_sparse_plans; measured ladder on the v5e
+# chip: 1.10x at 0.125, 1.01x at 0.25, 0.95x at 0.5 vs dense).
+GATHER_1X1_MAX_DENSITY = 0.13
+
 
 @dataclasses.dataclass
 class CompactSparse:
@@ -212,6 +218,30 @@ def build_sparse_plans(
                     f"dense: block density {gplan.block_density:.2f}"
                 )
                 continue
+            if w.shape[0] == 1 and w.shape[1] == 1:
+                # 1x1 convs have no tap loop to amortize the channel
+                # gather: the gathered re-materialization of activations
+                # is pure extra HBM traffic against a single small GEMM.
+                # Measured on DRN-D-54 (bottleneck arch, 24 gathered 1x1
+                # plans, v5e chip, PERF_NOTES round 5 "1x1 gathered
+                # eligibility"): lowering them all serves at 0.92x DENSE;
+                # per-density bands 1.10x at 1/8, wash at 1/4, 0.95x at
+                # 1/2.  Rule: lower a 1x1 only when the gather is nearly
+                # free (block density <= GATHER_1X1_MAX_DENSITY) or exact
+                # mode can skip dead out-blocks entirely (the raw-
+                # geometry win).  Composed-set validation: the rule
+                # lifted d54 block128reg serving 1.17x -> 1.52x and left
+                # raw block128 unchanged.
+                dead = gathered_mode == "exact" and any(
+                    len(ks) == 0 for ks in gplan.idx
+                )
+                if gplan.block_density > GATHER_1X1_MAX_DENSITY and not dead:
+                    report[cname] = (
+                        f"dense: 1x1 gather unpaid (block density "
+                        f"{gplan.block_density:.2f} > "
+                        f"{GATHER_1X1_MAX_DENSITY}, no dead out-blocks)"
+                    )
+                    continue
             plans[cname] = gplan
             report[cname] = (
                 f"gathered[{gathered_mode}]: block density "
