@@ -43,6 +43,19 @@ for arch in drn_d_22 drn_d_38 drn_d_54; do
     --pr-config-path optimal_configs/$arch/${arch}_block128reg_87.50.json
 done
 
+# Composition at depth: int8 on the rule-filtered d54 reg plan set (the
+# excluded 1x1s now take the dense PTQ path).  Sibling pair d54_dense2 /
+# d54_reg2 in the same session for the ratios.
+run d54_dense2 python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 32 --batch 8 --arch drn_d_54 --device-fps
+run d54_reg2 python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 32 --batch 8 --arch drn_d_54 --device-fps \
+  --pr-config-path optimal_configs/drn_d_54/drn_d_54_block128reg_87.50.json
+run d54_reg2_i8 python -u -m tpuseg.cli.seg_video --video "$VID" \
+  --size 1024x2048 --frames 32 --batch 8 --arch drn_d_54 --device-fps \
+  --pr-config-path optimal_configs/drn_d_54/drn_d_54_block128reg_87.50.json \
+  --quantize --calibrate 8
+
 if [ $INCOMPLETE -ne 0 ]; then
   echo "INCOMPLETE: at least one job failed (re-run to retry)"
   exit 1
